@@ -1,0 +1,128 @@
+"""Engine configuration and derivation rules.
+
+Mirrors the reference's ``ScalerConfig`` (reference src/scaler.hpp:10-18) and the
+config-resolution logic in ``main()`` (reference src/main.cpp:21-90):
+
+- defaults: target_fps=60, interpolation enabled, factor=0.5
+  (main.cpp:24-26);
+- input size auto-detect when 0 (main.cpp:67-74 — from the X11 window there,
+  from the frame source's metadata here);
+- aspect-ratio completion of a missing output dimension, and
+  output=input when neither is given (main.cpp:76-90).
+
+Constants the reference hardcodes are promoted to config fields with the
+reference values as defaults: LANCZOS_A=3 (shaders/scale.comp:14),
+block_size=8 / search_radius=16 (src/frame_manager.cpp:329-334), and the
+60-sample FPS window (src/scaler.cpp:431).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+class ConfigError(ValueError):
+    """Raised for invalid or inconsistent configuration."""
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    """Full engine configuration.
+
+    Sizes of 0 mean "derive" (see :func:`resolve_sizes`), matching the
+    reference's auto-detect/aspect-completion semantics (main.cpp:67-90).
+    """
+
+    # --- reference ScalerConfig surface (scaler.hpp:10-18) ---
+    input_width: int = 0
+    input_height: int = 0
+    output_width: int = 0
+    output_height: int = 0
+    target_fps: int = 60
+    enable_interpolation: bool = True
+    interpolation_factor: float = 0.5
+
+    # --- kernel constants (reference hardcodes; promoted to flags) ---
+    lanczos_a: int = 3            # scale.comp:14
+    block_size: int = 8           # frame_manager.cpp:332
+    search_radius: int = 16       # frame_manager.cpp:333 (float there, integer grid)
+    fps_window: int = 60          # scaler.cpp:431
+
+    # --- TPU-build-specific knobs (no reference equivalent) ---
+    # compute dtype for the production path; the parity path is always f32
+    dtype: str = "bf16"           # {"bf16", "f32"}
+    # motion estimation strategy: "exhaustive" is the parity kernel
+    # (motion.comp semantics); "pyramid" is the fast hierarchical search.
+    motion_mode: str = "pyramid"  # {"exhaustive", "pyramid", "none"}
+    # fps multiplication factor for streaming interpolation (30->60 is 2)
+    fps_multiplier: int = 2
+    # number of in-flight frame slots in the device ring
+    ring_slots: int = 3
+
+    def validate(self) -> "EngineConfig":
+        if not (0.0 <= self.interpolation_factor <= 1.0):
+            raise ConfigError(
+                f"interpolation factor must be in [0,1], got {self.interpolation_factor}"
+            )
+        if self.target_fps <= 0:
+            raise ConfigError(f"target fps must be positive, got {self.target_fps}")
+        if self.dtype not in ("bf16", "f32"):
+            raise ConfigError(f"dtype must be bf16 or f32, got {self.dtype!r}")
+        if self.motion_mode not in ("exhaustive", "pyramid", "none"):
+            raise ConfigError(f"unknown motion mode {self.motion_mode!r}")
+        if self.block_size <= 0 or self.search_radius < 0:
+            raise ConfigError("block_size must be >0 and search_radius >=0")
+        for name in ("input_width", "input_height", "output_width", "output_height"):
+            if getattr(self, name) < 0:
+                raise ConfigError(f"{name} must be >= 0")
+        return self
+
+
+def resolve_sizes(
+    cfg: EngineConfig,
+    detected_input: Optional[tuple[int, int]] = None,
+) -> EngineConfig:
+    """Apply the reference's size-derivation rules (main.cpp:67-90).
+
+    ``detected_input`` is the (width, height) reported by the frame source —
+    the stand-in for the reference's X11 `GetWindowSize` auto-detect
+    (main.cpp:67-74, window_capture.cpp:322-330).
+
+    Output completion exactly follows main.cpp:76-90: if only one output
+    dimension is given the other is completed to preserve the input aspect
+    ratio (truncating float math, as the reference casts to uint32); if
+    neither is given, output = input.
+    """
+    cfg = dataclasses.replace(cfg)
+    if cfg.input_width == 0 or cfg.input_height == 0:
+        if detected_input is None:
+            raise ConfigError(
+                "input size not specified and source does not report one"
+            )
+        cfg.input_width, cfg.input_height = detected_input
+
+    if cfg.input_width <= 0 or cfg.input_height <= 0:
+        raise ConfigError(
+            f"invalid input size {cfg.input_width}x{cfg.input_height}"
+        )
+
+    if cfg.output_width == 0 or cfg.output_height == 0:
+        if cfg.output_height != 0:
+            # width completed from height, preserving aspect (main.cpp:78-81)
+            scale = float(cfg.output_height) / float(cfg.input_height)
+            cfg.output_width = int(cfg.input_width * scale)
+        elif cfg.output_width != 0:
+            # height completed from width (main.cpp:82-85)
+            scale = float(cfg.output_width) / float(cfg.input_width)
+            cfg.output_height = int(cfg.input_height * scale)
+        else:
+            # neither given: passthrough size (main.cpp:86-89)
+            cfg.output_width = cfg.input_width
+            cfg.output_height = cfg.input_height
+
+    if cfg.output_width <= 0 or cfg.output_height <= 0:
+        raise ConfigError(
+            f"invalid output size {cfg.output_width}x{cfg.output_height}"
+        )
+    return cfg.validate()
