@@ -1,0 +1,213 @@
+"""Fused separable Lanczos resample as a Pallas TPU kernel.
+
+TPU-first redesign of the reference's ``scale.comp`` (shaders/scale.comp:1-61,
+dispatched at src/scaler.cpp:344-362).  The GLSL computes, per output pixel, a
+6x6 tap stencil with joint renormalization over in-bounds taps.  Because taps
+are skipped per-axis and the 2-D weight is a separable product
+``lanczos(dx)*lanczos(dy)`` (scale.comp:41), the whole operation factors
+exactly into two 1-D resamples with per-axis normalized weights:
+
+    out = B_y @ img @ B_x
+
+where ``B_x`` [S_x, T_ox] and ``B_y`` [T_oy, S_y] are banded weight matrices
+(6 non-zeros per output row/column, renormalized per axis, zeroed for
+out-of-range taps).  That turns a gather-heavy stencil into two MXU matmuls
+per output tile — the idiomatic TPU formulation (the 16x16 Vulkan workgroup
+grid becomes a Pallas grid of (channel, row-tile, col-tile)).
+
+Each grid step DMAs the input span it needs (rows [row_start, row_start+S_y),
+cols [col_start, col_start+S_x)) from HBM into VMEM with scalar-prefetched
+per-tile starts — spans overlap by the 6-tap halo, so BlockSpec indexing
+cannot express them.  Numerical contract: matches the f32 oracle
+(tpufg.ops.oracle.lanczos_scale) to ~1e-6 relative in f32 and SSIM >= 0.999
+in bf16 (the bit-exact path is the oracle itself; see ops/oracle.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpufg.kernels.common import cdiv, round_up, use_interpret
+
+F32 = jnp.float32
+_NP_PI = np.float32(3.14159265359)  # scale.comp:18
+
+
+def _np_lanczos_weight(x: np.ndarray, a: int) -> np.ndarray:
+    """Host-side numpy mirror of ops.oracle.lanczos_weight (f32).
+
+    Must stay numpy (not jnp): it runs while tracing under jit, and staged
+    ops would leak tracers into the cached plan.
+    """
+    x = x.astype(np.float32)
+    px = _NP_PI * x
+    with np.errstate(invalid="ignore", divide="ignore"):
+        w = np.float32(a) * np.sin(px) * np.sin(px / np.float32(a)) / (px * px)
+    return np.where(x == 0, np.float32(1.0), w).astype(np.float32)
+
+
+def _np_axis_taps(in_size: int, out_size: int, a: int):
+    """Host-side numpy mirror of ops.oracle._axis_taps (f32)."""
+    out_idx = np.arange(out_size, dtype=np.float32)
+    uv = (out_idx + np.float32(0.5)) / np.float32(out_size)
+    pixel_pos = uv * np.float32(in_size) - np.float32(0.5)
+    fl = np.floor(pixel_pos)
+    frac = (pixel_pos - fl).astype(np.float32)
+    start = fl - np.float32(a - 1)
+    k = np.arange(2 * a, dtype=np.float32)
+    coords = start[:, None] + k[None, :]
+    deltas = (k[None, :] - frac[:, None] - np.float32(a - 1)).astype(np.float32)
+    valid = (coords >= 0) & (coords <= np.float32(in_size - 1))
+    return coords.astype(np.int32), deltas, valid
+
+
+@functools.lru_cache(maxsize=64)
+def _axis_plan(in_size: int, out_size: int, a: int, tile_out: int, lane: int):
+    """Banded weight blocks + per-tile span starts for one axis.
+
+    Returns (starts [n_tiles] int32, bands [n_tiles, span, tile_out] f32 np,
+    span, n_tiles, padded_in).  ``bands[t] @`` an input span reproduces the
+    oracle's per-axis weighted tap sum with per-axis normalization (exactly
+    the joint normalization, since tap validity is per-axis independent).
+
+    Span starts are aligned down to ``lane`` (Mosaic requires HBM slice
+    offsets divisible by the memref tiling: 8 for sublanes, 128 for lanes);
+    the span is widened to absorb the alignment slack.
+    """
+    n_tiles = cdiv(out_size, tile_out)
+    out_pad = n_tiles * tile_out
+    in_pad = round_up(in_size, lane)
+
+    # per-output-pixel taps, same math as the oracle (numpy mirror)
+    coords, deltas, valid = _np_axis_taps(in_size, out_size, a)
+    w = _np_lanczos_weight(deltas, a)
+    w = np.where(valid, w, np.float32(0.0)).astype(np.float32)
+    wsum = np.sum(w, axis=1, keepdims=True, dtype=np.float32)
+    w = (w / np.maximum(wsum, np.float32(1e-30))).astype(np.float32)
+
+    # span: widest input window any tile needs
+    span_needed = 0
+    starts = np.zeros((n_tiles,), np.int32)
+    for t in range(n_tiles):
+        lo = t * tile_out
+        hi = min(out_size, lo + tile_out)
+        first = int(coords[lo, 0])
+        last = int(coords[hi - 1, 2 * a - 1])
+        span_needed = max(span_needed, last - first + 1)
+    span = min(round_up(span_needed + 2 + lane, lane), in_pad)
+
+    bands = np.zeros((n_tiles, span, tile_out), np.float32)
+    for t in range(n_tiles):
+        lo = t * tile_out
+        hi = min(out_size, lo + tile_out)
+        start = max(0, min(int(coords[lo, 0]), in_pad - span))
+        start = (start // lane) * lane  # alignment for Mosaic HBM slicing
+        starts[t] = start
+        for j in range(lo, hi):
+            for k in range(2 * a):
+                c = int(coords[j, k])
+                if 0 <= c < in_size and w[j, k] != 0.0:
+                    bands[t, c - start, j - lo] += w[j, k]
+    return starts, bands, span, n_tiles, in_pad
+
+
+def _scale_kernel(row_start_ref, col_start_ref, img_ref, by_ref, bx_ref,
+                  out_ref, span_ref, sem, *, span_y, span_x, compute_dtype):
+    c = pl.program_id(0)
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+    rs = pl.multiple_of(row_start_ref[ty], 8)
+    cs = pl.multiple_of(col_start_ref[tx], 128)
+    dma = pltpu.make_async_copy(
+        img_ref.at[c, pl.ds(rs, span_y), pl.ds(cs, span_x)],
+        span_ref,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+    # full MXU precision for f32 inputs (default would round through bf16)
+    prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    # horizontal pass: [S_y, S_x] @ [S_x, T_ox] -> [S_y, T_ox]
+    tmp = jnp.dot(span_ref[:], bx_ref[0], preferred_element_type=F32,
+                  precision=prec)
+    # vertical pass: [T_oy, S_y] @ [S_y, T_ox] -> [T_oy, T_ox]
+    out = jnp.dot(by_ref[0], tmp.astype(compute_dtype), preferred_element_type=F32,
+                  precision=prec)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def lanczos_scale_fast(
+    img: jax.Array,
+    out_h: int,
+    out_w: int,
+    a: int = 3,
+    tile_out: int = 256,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Lanczos-``a`` resample of a planar frame stack.
+
+    ``img``: [C, H, W] f32 or bf16 (planar channel-first — the framework's
+    internal compute layout).  Returns [C, out_h, out_w] in the same dtype.
+    """
+    if interpret is None:
+        interpret = use_interpret()
+    c, in_h, in_w = img.shape
+    dtype = img.dtype
+
+    t_ox = min(tile_out, round_up(out_w, 128))
+    t_oy = min(tile_out, round_up(out_h, 8))
+    col_starts, bx, span_x, n_tx, in_wp = _axis_plan(in_w, out_w, a, t_ox, 128)
+    row_starts, by_t, span_y, n_ty, in_hp = _axis_plan(in_h, out_h, a, t_oy, 8)
+    # vertical band is used as [T_oy, S_y]: transpose of the axis plan layout
+    by = np.transpose(by_t, (0, 2, 1)).copy()
+
+    img_p = jnp.pad(img, ((0, 0), (0, in_hp - in_h), (0, in_wp - in_w)))
+    out_hp, out_wp = n_ty * t_oy, n_tx * t_ox
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(c, n_ty, n_tx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),           # img (HBM)
+            pl.BlockSpec(                                    # by block
+                (1, t_oy, span_y),
+                lambda ci, ty, tx, *_: (ty, 0, 0),
+            ),
+            pl.BlockSpec(                                    # bx block
+                (1, span_x, t_ox),
+                lambda ci, ty, tx, *_: (tx, 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t_oy, t_ox),
+            lambda ci, ty, tx, *_: (ci, ty, tx),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((span_y, span_x), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        _scale_kernel, span_y=span_y, span_x=span_x,
+        compute_dtype=dtype,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((c, out_hp, out_wp), dtype),
+        interpret=interpret,
+    )(
+        jnp.asarray(row_starts),
+        jnp.asarray(col_starts),
+        img_p,
+        jnp.asarray(by, dtype=dtype),
+        jnp.asarray(bx, dtype=dtype),
+    )
+    return out[:, :out_h, :out_w]
