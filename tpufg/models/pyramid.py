@@ -1,0 +1,107 @@
+"""Hierarchical pyramid motion search — the production motion path.
+
+The reference's exhaustive per-pixel block matching (shaders/motion.comp,
+(2r+1)^2 = 1089 candidates at full resolution) is a WIP placeholder whose
+cost is quadratic in the search radius; it exists here as the parity kernel
+(tpufg.kernels.motion).  The production path is the classic coarse-to-fine
+pyramid (BASELINE.json config 5):
+
+1. build a box-filtered image pyramid (2x per level);
+2. exhaustive search at the coarsest level with a small radius (covers the
+   same +-16 px full-res displacement at 1/2^L scale);
+3. at each finer level: upsample the MV field 2x (values doubled), warp the
+   previous frame by the estimate (block-granular Pallas warp), and run a
+   small-radius residual search between the warped prev and curr; the
+   residual is added to the estimate.
+
+Cost: O(levels * small-radius^2) instead of O(radius^2) at full resolution —
+~40x fewer candidate evaluations for the reference's r=16 at 3 levels.
+
+Output is a block-granular MV field [2, H/G, W/G] in full-resolution pixel
+units, backward flow (curr[q] ~= prev[q + m]) like motion.comp.  The engine
+negates it before warping (reference bug #12, see ops/oracle.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpufg.kernels.motion import motion_search_tiled
+from tpufg.kernels.warp import warp_blend_block
+
+F32 = jnp.float32
+
+
+def _downsample2(x: jax.Array) -> jax.Array:
+    """2x2 box filter downsample of planar [C, H, W] (H, W even)."""
+    c, h, w = x.shape
+    return x.reshape(c, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+
+
+def _block_subsample(mv: jax.Array, g: int) -> jax.Array:
+    """Per-pixel MV [2, H, W] -> block grid [2, H/g, W/g] (block centers)."""
+    return mv[:, g // 2::g, g // 2::g]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("levels", "base_radius", "refine_radius", "block_size",
+                     "grid", "interpret"),
+)
+def pyramid_motion_search(
+    prev: jax.Array,
+    curr: jax.Array,
+    levels: int = 3,
+    base_radius: int = 4,
+    refine_radius: int = 2,
+    block_size: int = 8,
+    grid: int = 16,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Coarse-to-fine block-matching motion estimation.
+
+    ``prev``/``curr``: planar [C, H, W] f32; H, W must be divisible by
+    ``grid * 2**(levels-1)``.  Returns f32 [2, H/grid, W/grid] pixel-unit
+    backward-flow MVs on the ``grid``-granular block lattice.
+    """
+    c, h, w = prev.shape
+    scale = grid * 2 ** (levels - 1)
+    if h % scale or w % scale:
+        raise ValueError(
+            f"frame {h}x{w} must be divisible by grid*2^(levels-1) = {scale}"
+        )
+
+    pyr = [(prev.astype(F32), curr.astype(F32))]
+    for _ in range(levels - 1):
+        p, q = pyr[-1]
+        pyr.append((_downsample2(p), _downsample2(q)))
+
+    # coarsest level: exhaustive small-radius search (per-pixel kernel,
+    # separable box — production mode), subsampled to the block grid
+    p0, q0 = pyr[-1]
+    mv_px = motion_search_tiled(
+        p0, q0, block_size=block_size, search_radius=base_radius,
+        exact_box=False, interpret=interpret,
+    )
+    mv = _block_subsample(mv_px, grid)
+
+    for lvl in range(levels - 2, -1, -1):
+        p_l, q_l = pyr[lvl]
+        # upsample MV grid 2x: same block lattice at the finer level
+        mv = jnp.repeat(jnp.repeat(mv, 2, axis=1), 2, axis=2) * F32(2.0)
+        max_disp = base_radius * 2 ** (levels - 1 - lvl) + \
+            sum(refine_radius * 2 ** k for k in range(levels - 1 - lvl))
+        # warp prev by the current estimate, then search the residual
+        warped = warp_blend_block(
+            p_l, p_l, mv, block=grid, search_radius=max(int(max_disp), 1),
+            interpret=interpret, single=True,
+        )
+        res_px = motion_search_tiled(
+            warped, q_l, block_size=block_size, search_radius=refine_radius,
+            exact_box=False, interpret=interpret,
+        )
+        mv = mv + _block_subsample(res_px, grid)
+    return mv
