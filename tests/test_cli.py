@@ -1,0 +1,85 @@
+"""CLI flag surface + end-to-end runs (reference main.cpp parity)."""
+
+import numpy as np
+import pytest
+
+from tpufg.cli import build_parser, main
+from tpufg.utils.logging import get_logger
+
+
+class TestParsing:
+    def test_reference_flags_accepted(self):
+        # the exact reference flag surface (main.cpp:28-54)
+        args = build_parser().parse_args([
+            "--input-width", "1920", "--input-height", "1080",
+            "--output-width", "3840", "--output-height", "2160",
+            "--target-fps", "30", "--no-interpolation",
+            "--interpolation-factor", "0.25", "in.raw",
+        ])
+        assert args.input_width == 1920
+        assert args.no_interpolation is True
+        assert args.interpolation_factor == 0.25
+        assert args.input == "in.raw"
+
+    def test_defaults_match_reference(self):
+        args = build_parser().parse_args(["x.raw"])
+        assert args.target_fps == 60          # main.cpp:26
+        assert args.no_interpolation is False  # main.cpp:24
+        assert args.interpolation_factor == 0.5  # main.cpp:25
+
+    def test_help_exits_zero(self, capsys):
+        with pytest.raises(SystemExit) as e:
+            build_parser().parse_args(["--help"])
+        assert e.value.code == 0
+        assert "--interpolation-factor" in capsys.readouterr().out
+
+
+class TestMainErrors:
+    def test_missing_input_exits_one(self, capsys):
+        # main.cpp:57-60: no window id -> usage + exit 1
+        assert main([]) == 1
+        assert get_logger().has_error()
+        get_logger().clear_error()
+
+    def test_missing_file_exits_one(self):
+        assert main(["/does/not/exist.raw", "--input-width", "8",
+                     "--input-height", "8"]) == 1
+        get_logger().clear_error()
+
+    def test_bad_factor_exits_one(self):
+        assert main(["synthetic:32x32", "--interpolation-factor", "2.0"]) == 1
+        get_logger().clear_error()
+
+    def test_raw_without_size_exits_one(self, tmp_path):
+        p = tmp_path / "v.raw"
+        p.write_bytes(b"\x00" * (8 * 8 * 4))
+        assert main([str(p)]) == 1
+        get_logger().clear_error()
+
+
+class TestEndToEnd:
+    def test_scale_only_run(self, tmp_path):
+        out = tmp_path / "out.raw"
+        rc = main(["synthetic:32x32", "--output-width", "64",
+                   "--no-interpolation", "--frames", "3", "--no-pacing",
+                   "--output", str(out), "--dtype", "f32"])
+        assert rc == 0
+        assert out.stat().st_size == 3 * 64 * 64 * 4
+
+    def test_interp_crossfade_run(self, tmp_path):
+        out = tmp_path / "out.raw"
+        rc = main(["synthetic:32x32", "--frames", "3", "--no-pacing",
+                   "--motion-mode", "none", "--output", str(out),
+                   "--dtype", "f32"])
+        assert rc == 0
+        # 1 + 2*2 = 5 output frames at input size (passthrough scale)
+        assert out.stat().st_size == 5 * 32 * 32 * 4
+
+    def test_aspect_completion_end_to_end(self, tmp_path):
+        out = tmp_path / "out.raw"
+        rc = main(["synthetic:64x32", "--output-width", "128",
+                   "--no-interpolation", "--frames", "2", "--no-pacing",
+                   "--output", str(out), "--dtype", "f32"])
+        assert rc == 0
+        # height completed to 64 by aspect (main.cpp:82-85)
+        assert out.stat().st_size == 2 * 128 * 64 * 4

@@ -1,0 +1,153 @@
+"""Command-line interface.
+
+Mirrors the reference binary's flag surface exactly (src/main.cpp:8-19
+PrintUsage; parsing main.cpp:28-54) and replaces the X11 ``window-id``
+positional with an INPUT spec (file / y4m / synthetic / stdin), since a TPU
+host has no display server.  Reference semantics preserved:
+
+- defaults: --target-fps 60, interpolation on, --interpolation-factor 0.5
+- input size auto-detected from the source when not given (main.cpp:67-74)
+- missing output dimension completed by aspect ratio (main.cpp:76-90)
+- missing INPUT -> usage + exit 1 (main.cpp:57-60)
+
+TPU-build additions: --output sink spec, --frames limit, --no-pacing,
+--motion-mode, --precision, --dtype, and the reference's hardcoded kernel
+constants exposed (--lanczos-a, --block-size, --search-radius).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Optional
+
+from tpufg.config import ConfigError, EngineConfig, resolve_sizes
+from tpufg.utils.logging import get_logger
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpufg",
+        description="TPU-native real-time upscaling and motion-compensated "
+                    "frame interpolation",
+        add_help=False,
+    )
+    p.add_argument("--help", action="help",
+                   help="Show this help message")
+    p.add_argument("input", nargs="?", metavar="INPUT",
+                   help="input spec: raw RGBA file, *.y4m, synthetic:WxH, "
+                        "or '-' for stdin")
+    p.add_argument("--input-width", type=int, default=0, metavar="WIDTH",
+                   help="Input width (default: auto-detect)")
+    p.add_argument("--input-height", type=int, default=0, metavar="HEIGHT",
+                   help="Input height (default: auto-detect)")
+    p.add_argument("--output-width", type=int, default=0, metavar="WIDTH",
+                   help="Output width")
+    p.add_argument("--output-height", type=int, default=0, metavar="HEIGHT",
+                   help="Output height")
+    p.add_argument("--target-fps", type=int, default=60, metavar="FPS",
+                   help="Target FPS (default: 60)")
+    p.add_argument("--no-interpolation", action="store_true",
+                   help="Disable frame interpolation")
+    p.add_argument("--interpolation-factor", type=float, default=0.5,
+                   metavar="F",
+                   help="Interpolation blend factor (0.0-1.0, default: 0.5)")
+    # TPU-build surface
+    p.add_argument("--output", default=None, metavar="SINK",
+                   help="output: raw file, *.y4m, dir/ (PNGs), 'null' "
+                        "(default: null)")
+    p.add_argument("--frames", type=int, default=None, metavar="N",
+                   help="stop after N input frames")
+    p.add_argument("--no-pacing", action="store_true",
+                   help="run unpaced (benchmark mode)")
+    p.add_argument("--motion-mode", choices=["pyramid", "exhaustive", "none"],
+                   default="pyramid", help="motion estimation strategy")
+    p.add_argument("--precision", choices=["fast", "exact"], default="fast",
+                   help="fast = Pallas kernels; exact = f32 oracle "
+                        "(bit-exact GLSL spec)")
+    p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16",
+                   help="compute dtype for the fast path")
+    p.add_argument("--channel-order", choices=["rgba", "bgra"],
+                   default="rgba", help="raw input channel order")
+    # reference hardcoded constants, promoted (scale.comp:14,
+    # frame_manager.cpp:332-333)
+    p.add_argument("--lanczos-a", type=int, default=3)
+    p.add_argument("--block-size", type=int, default=8)
+    p.add_argument("--search-radius", type=int, default=16)
+    return p
+
+
+def main(argv: Optional[list[str]] = None) -> int:
+    log = get_logger()
+    parser = build_parser()
+    args = parser.parse_args(argv)
+
+    if not args.input:
+        # main.cpp:57-60: missing positional -> error + usage + exit 1
+        log.error("No input specified")
+        parser.print_help()
+        return 1
+
+    cfg = EngineConfig(
+        input_width=args.input_width,
+        input_height=args.input_height,
+        output_width=args.output_width,
+        output_height=args.output_height,
+        target_fps=args.target_fps,
+        enable_interpolation=not args.no_interpolation,
+        interpolation_factor=args.interpolation_factor,
+        lanczos_a=args.lanczos_a,
+        block_size=args.block_size,
+        search_radius=args.search_radius,
+        dtype=args.dtype,
+        motion_mode=args.motion_mode,
+    )
+
+    from tpufg.io.sinks import open_sink
+    from tpufg.io.sources import SourceError, open_source
+
+    try:
+        cfg.validate()
+        source = open_source(args.input, args.input_width, args.input_height,
+                             args.channel_order,
+                             frames=args.frames or 300)
+    except (ConfigError, SourceError, OSError) as e:
+        log.error(str(e))
+        return 1
+
+    try:
+        cfg = resolve_sizes(cfg, detected_input=source.size)
+    except ConfigError as e:
+        log.error(str(e))
+        source.close()
+        return 1
+
+    log.info(f"Input: {cfg.input_width}x{cfg.input_height}  Output: "
+             f"{cfg.output_width}x{cfg.output_height}  fps: {cfg.target_fps}"
+             f"  interpolation: {'on' if cfg.enable_interpolation else 'off'}")
+
+    out_fps = cfg.target_fps * (2 if cfg.enable_interpolation else 1)
+    sink = open_sink(args.output, cfg.output_width, cfg.output_height,
+                     fps=float(out_fps))
+
+    from tpufg.engine.runner import run_stream
+
+    try:
+        stats = run_stream(cfg, source, sink, precision=args.precision,
+                           max_frames=args.frames,
+                           paced=not args.no_pacing)
+    except KeyboardInterrupt:
+        log.info("Interrupted, cleaning up...")
+        return 130
+    finally:
+        source.close()
+        sink.close()
+
+    log.info(f"Done: {stats.frames_in} in, {stats.frames_out} out, "
+             f"fps {stats.fps:.1f}, "
+             f"p99 {stats.latency.get('p99_ms', 0):.2f} ms")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,148 @@
+"""Jit'd per-frame pipeline steps.
+
+Replaces the reference's Scaler::ProcessFrame orchestration
+(src/scaler.cpp:397-624) and the dead FrameManager::InterpolateFrames
+sequence (frame_manager.cpp:216-372, zero call sites — SURVEY.md §0): here
+the interpolation path is real and fused into a single XLA program per step.
+Where the reference serializes three submit+vkQueueWaitIdle round-trips per
+frame (scaler.cpp:393,532; window_capture.cpp:566), a step is one traced
+computation — XLA dataflow replaces every image barrier, including the
+missing one between the motion and interpolate dispatches
+(frame_manager.cpp:344-366, latent bug #11).
+
+Two precision modes:
+- "fast": Pallas kernels, bf16 or f32 (production; SSIM >= 0.999 contract)
+- "exact": the jnp f32 oracle ops end to end (bit-for-bit the GLSL spec)
+
+Motion modes mirror BASELINE.json configs: "none" (pure cross-fade,
+config 2), "exhaustive" (motion.comp parity, config 3), "pyramid"
+(production hierarchical search, configs 4/5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from tpufg.config import EngineConfig
+from tpufg.kernels.convert import frames_to_planar, planar_to_frames
+from tpufg.kernels.lanczos import lanczos_scale_fast
+from tpufg.kernels.motion import motion_search_tiled
+from tpufg.kernels.warp import warp_blend_block
+from tpufg.models.pyramid import pyramid_motion_search
+from tpufg.ops import oracle
+from tpufg.kernels.common import round_up
+
+F32 = jnp.float32
+
+# block lattice of the production MV grid / warp kernel
+MV_GRID = 16
+PYR_LEVELS = 3
+
+
+def _dtype(cfg: EngineConfig):
+    return jnp.bfloat16 if cfg.dtype == "bf16" else jnp.float32
+
+
+def _edge_pad_chw(x: jax.Array, hp: int, wp: int) -> jax.Array:
+    c, h, w = x.shape
+    return jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
+
+
+def make_scale_step(cfg: EngineConfig) -> Callable:
+    """uint8 [H, W, 4] -> scaled uint8 [outH, outW, 4]  (config 1 path)."""
+    out_h, out_w = cfg.output_height, cfg.output_width
+    a = cfg.lanczos_a
+    exact = cfg.dtype == "f32" and cfg.motion_mode == "none"  # unused marker
+
+    if cfg.dtype == "exact":  # pragma: no cover - handled by precision arg
+        raise ValueError("use precision parameter")
+
+    dt = _dtype(cfg)
+
+    @jax.jit
+    def step(frame_u8):
+        planar = frames_to_planar(frame_u8, dt)
+        scaled = lanczos_scale_fast(planar, out_h, out_w, a)
+        return planar_to_frames(scaled)
+
+    return step
+
+
+def make_exact_scale_step(cfg: EngineConfig) -> Callable:
+    """Oracle (bit-exact f32) scale step."""
+    out_h, out_w = cfg.output_height, cfg.output_width
+    a = cfg.lanczos_a
+
+    @jax.jit
+    def step(frame_u8):
+        img = oracle.dequantize_unorm8(frame_u8)
+        out = oracle.lanczos_scale(img, out_h, out_w, a)
+        return oracle.quantize_unorm8(out)
+
+    return step
+
+
+def make_interp_step(cfg: EngineConfig, precision: str = "fast") -> Callable:
+    """(prev_u8, curr_u8) -> (interp_scaled_u8, curr_scaled_u8).
+
+    The fps-doubling streaming step: emits the motion-compensated midpoint
+    (or cfg.interpolation_factor point) and the scaled current frame.
+    """
+    out_h, out_w = cfg.output_height, cfg.output_width
+    t = cfg.interpolation_factor
+    a = cfg.lanczos_a
+    b = cfg.block_size
+    r = cfg.search_radius
+    mode = cfg.motion_mode
+    dt = _dtype(cfg)
+
+    if precision == "exact":
+        @jax.jit
+        def step(prev_u8, curr_u8):
+            p = oracle.dequantize_unorm8(prev_u8)
+            c = oracle.dequantize_unorm8(curr_u8)
+            if mode == "none":
+                mv = None
+            else:  # oracle path always uses the full exhaustive search
+                mv = -oracle.motion_search(p, c, b, r)  # negate: bug #12
+            interp = oracle.warp_blend(p, c, mv, t)
+            out0 = oracle.lanczos_scale(interp, out_h, out_w, a)
+            out1 = oracle.lanczos_scale(c, out_h, out_w, a)
+            return (oracle.quantize_unorm8(out0), oracle.quantize_unorm8(out1))
+
+        return step
+
+    @jax.jit
+    def step(prev_u8, curr_u8):
+        p = frames_to_planar(prev_u8, dt)
+        c = frames_to_planar(curr_u8, dt)
+        _, h, w = p.shape
+        if mode == "none":
+            interp = (p.astype(F32) * F32(1.0 - t)
+                      + c.astype(F32) * F32(t))
+        else:
+            # pad to the motion/warp lattice (pyramid needs grid*2^(L-1))
+            mult = MV_GRID * 2 ** (PYR_LEVELS - 1)
+            hp, wp = round_up(h, mult), round_up(w, mult)
+            pp = _edge_pad_chw(p.astype(F32), hp, wp)
+            cp = _edge_pad_chw(c.astype(F32), hp, wp)
+            if mode == "pyramid":
+                mv = pyramid_motion_search(
+                    pp, cp, levels=PYR_LEVELS, base_radius=4,
+                    refine_radius=2, block_size=b, grid=MV_GRID)
+            else:  # exhaustive parity kernel, subsampled to the MV lattice
+                mv_px = motion_search_tiled(pp, cp, block_size=b,
+                                            search_radius=r, exact_box=False)
+                mv = mv_px[:, MV_GRID // 2::MV_GRID, MV_GRID // 2::MV_GRID]
+            warped = warp_blend_block(pp, cp, -mv, factor=t, block=MV_GRID,
+                                      search_radius=max(r, 8))
+            interp = warped[:, :h, :w]
+        out0 = lanczos_scale_fast(interp.astype(dt), out_h, out_w, a)
+        out1 = lanczos_scale_fast(c, out_h, out_w, a)
+        return planar_to_frames(out0), planar_to_frames(out1)
+
+    return step

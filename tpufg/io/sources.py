@@ -1,0 +1,305 @@
+"""Frame sources — the TPU-host replacement for the reference's WindowCapture.
+
+The reference ingests live X11 windows via XComposite + SHM
+(src/window_capture.cpp:7-568); a TPU host has no display server, so ingest
+is file/stream/synthetic (SURVEY.md §2.1 row 4).  The capture-path structure
+survives: a source reports its size (GetWindowSize, window_capture.cpp:322),
+auto-detection feeds config derivation (main.cpp:67-74), and each source
+yields uint8 RGBA [H, W, 4] frames — the canonical channel order the
+framework fixes at ingest (reference's BGRA swizzle-by-cancellation,
+SURVEY.md §2.3.7, is resolved here: RawVideoSource/StdinSource accept a
+``channel_order`` of "rgba" or "bgra" and normalize to RGBA).
+
+Supported: raw packed RGBA/BGRA files, YUV4MPEG2 (C444/C420 variants,
+BT.601 limited range), stdin pipes, and synthetic generators for bench.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class SourceError(RuntimeError):
+    pass
+
+
+class FrameSource:
+    """Protocol: size/fps metadata + iteration of uint8 [H, W, 4] frames."""
+
+    @property
+    def size(self) -> tuple[int, int]:  # (width, height)
+        raise NotImplementedError
+
+    @property
+    def fps(self) -> Optional[float]:
+        return None
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _to_rgba(frame: np.ndarray, order: str) -> np.ndarray:
+    if order == "rgba":
+        return frame
+    if order == "bgra":
+        return frame[..., [2, 1, 0, 3]]
+    raise SourceError(f"unknown channel order {order!r}")
+
+
+class RawVideoSource(FrameSource):
+    """Packed 8-bit RGBA/BGRA frames, memory-mapped.
+
+    The file is W*H*4 bytes per frame, no header — the same wire format the
+    reference's SHM segment carries (window_capture.cpp:276-303).
+    """
+
+    def __init__(self, path: str, width: int, height: int,
+                 channel_order: str = "rgba", fps: Optional[float] = None):
+        if width <= 0 or height <= 0:
+            raise SourceError("raw source needs explicit --input-width/height")
+        self._w, self._h = width, height
+        self._order = channel_order
+        self._fps = fps
+        self._frame_bytes = width * height * 4
+        size = os.path.getsize(path)
+        if size % self._frame_bytes:
+            raise SourceError(
+                f"{path}: size {size} not a multiple of frame size "
+                f"{self._frame_bytes} ({width}x{height}x4)"
+            )
+        self._n = size // self._frame_bytes
+        self._mm = np.memmap(path, dtype=np.uint8, mode="r")
+
+    @property
+    def size(self):
+        return (self._w, self._h)
+
+    @property
+    def fps(self):
+        return self._fps
+
+    def __len__(self):
+        return self._n
+
+    def __iter__(self):
+        fb = self._frame_bytes
+        for i in range(self._n):
+            frame = np.asarray(self._mm[i * fb:(i + 1) * fb]).reshape(
+                self._h, self._w, 4)
+            yield _to_rgba(frame, self._order)
+
+    def close(self):
+        del self._mm
+
+
+class StdinSource(FrameSource):
+    """Packed RGBA/BGRA frames streamed over a pipe (stdin by default)."""
+
+    def __init__(self, width: int, height: int, channel_order: str = "rgba",
+                 stream: Optional[io.RawIOBase] = None,
+                 fps: Optional[float] = None):
+        if width <= 0 or height <= 0:
+            raise SourceError("stdin source needs explicit --input-width/height")
+        self._w, self._h = width, height
+        self._order = channel_order
+        self._fps = fps
+        self._stream = stream if stream is not None else sys.stdin.buffer
+
+    @property
+    def size(self):
+        return (self._w, self._h)
+
+    @property
+    def fps(self):
+        return self._fps
+
+    def __iter__(self):
+        fb = self._w * self._h * 4
+        while True:
+            buf = self._stream.read(fb)
+            if not buf or len(buf) < fb:
+                return
+            frame = np.frombuffer(buf, np.uint8).reshape(self._h, self._w, 4)
+            yield _to_rgba(frame, self._order)
+
+
+_Y4M_RE = re.compile(rb"YUV4MPEG2 (.*?)\n", re.S)
+
+
+def _bt601_to_rgb(y, u, v):
+    """Limited-range BT.601 YCbCr -> full-range RGB (float32 [0,255])."""
+    y = y.astype(np.float32) - 16.0
+    u = u.astype(np.float32) - 128.0
+    v = v.astype(np.float32) - 128.0
+    r = 1.164 * y + 1.596 * v
+    g = 1.164 * y - 0.392 * u - 0.813 * v
+    b = 1.164 * y + 2.017 * u
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255)
+
+
+class Y4MSource(FrameSource):
+    """YUV4MPEG2 reader (C444 and C420* chroma, 8-bit, BT.601)."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "rb")
+        header = b""
+        while not header.endswith(b"\n"):
+            ch = self._f.read(1)
+            if not ch:
+                raise SourceError(f"{path}: truncated y4m header")
+            header += ch
+        if not header.startswith(b"YUV4MPEG2"):
+            raise SourceError(f"{path}: not a YUV4MPEG2 file")
+        self._w = self._h = 0
+        self._fps_v: Optional[float] = None
+        self._chroma = "420jpeg"
+        for tok in header.split()[1:]:
+            k, v = tok[:1], tok[1:]
+            if k == b"W":
+                self._w = int(v)
+            elif k == b"H":
+                self._h = int(v)
+            elif k == b"F":
+                num, den = v.split(b":")
+                self._fps_v = int(num) / int(den)
+            elif k == b"C":
+                self._chroma = v.decode()
+        if not self._w or not self._h:
+            raise SourceError(f"{path}: y4m header missing W/H")
+        if self._chroma.startswith("420"):
+            self._cw, self._ch_ = self._w // 2, self._h // 2
+        elif self._chroma.startswith("444"):
+            self._cw, self._ch_ = self._w, self._h
+        else:
+            raise SourceError(f"unsupported y4m chroma {self._chroma}")
+
+    @property
+    def size(self):
+        return (self._w, self._h)
+
+    @property
+    def fps(self):
+        return self._fps_v
+
+    def __iter__(self):
+        ysz = self._w * self._h
+        csz = self._cw * self._ch_
+        while True:
+            line = self._f.readline()
+            if not line:
+                return
+            if not line.startswith(b"FRAME"):
+                raise SourceError("bad y4m frame marker")
+            data = self._f.read(ysz + 2 * csz)
+            if len(data) < ysz + 2 * csz:
+                return
+            y = np.frombuffer(data[:ysz], np.uint8).reshape(self._h, self._w)
+            u = np.frombuffer(data[ysz:ysz + csz], np.uint8).reshape(
+                self._ch_, self._cw)
+            v = np.frombuffer(data[ysz + csz:], np.uint8).reshape(
+                self._ch_, self._cw)
+            if self._cw != self._w:  # 420 -> nearest upsample
+                u = u.repeat(2, 0).repeat(2, 1)[: self._h, : self._w]
+                v = v.repeat(2, 0).repeat(2, 1)[: self._h, : self._w]
+            rgb = _bt601_to_rgb(y, u, v).astype(np.uint8)
+            alpha = np.full((self._h, self._w, 1), 255, np.uint8)
+            yield np.concatenate([rgb, alpha], axis=-1)
+
+    def close(self):
+        self._f.close()
+
+
+class SyntheticSource(FrameSource):
+    """Procedural moving-pattern frames for bench and demos.
+
+    Patterns: "pan" (textured field translating at a constant pixel
+    velocity — the friendliest case for block matching), "noise", "gradient".
+    """
+
+    def __init__(self, width: int, height: int, n_frames: int = 300,
+                 pattern: str = "pan", velocity: tuple[float, float] = (3.0, 1.0),
+                 fps: float = 30.0, seed: int = 0):
+        self._w, self._h = width, height
+        self._n = n_frames
+        self._pattern = pattern
+        self._vel = velocity
+        self._fps = fps
+        rng = np.random.default_rng(seed)
+        pad = 256
+        if pattern in ("pan", "noise"):
+            tex = rng.integers(0, 256, (height + pad, width + pad, 4),
+                               dtype=np.uint8)
+            if pattern == "pan":
+                t = tex.astype(np.float32)
+                for k in (1, 2, 4):
+                    t = (t + np.roll(t, k, 0) + np.roll(t, k, 1)) / 3
+                tex = t.astype(np.uint8)
+            self._tex = tex
+        else:
+            self._tex = None
+
+    @property
+    def size(self):
+        return (self._w, self._h)
+
+    @property
+    def fps(self):
+        return self._fps
+
+    def __len__(self):
+        return self._n
+
+    def __iter__(self):
+        vx, vy = self._vel
+        for i in range(self._n):
+            if self._tex is not None:
+                ox = int(round(vx * i)) % 256
+                oy = int(round(vy * i)) % 256
+                yield np.ascontiguousarray(
+                    self._tex[oy:oy + self._h, ox:ox + self._w])
+            else:
+                ramp = np.linspace(0, 255, self._w, dtype=np.float32)
+                phase = (ramp + 3.0 * i) % 256
+                frame = np.broadcast_to(
+                    phase[None, :, None], (self._h, self._w, 4))
+                yield frame.astype(np.uint8)
+
+
+def open_source(spec: str, width: int = 0, height: int = 0,
+                channel_order: str = "rgba",
+                frames: int = 300) -> FrameSource:
+    """Resolve an --input spec.
+
+    - ``synthetic:WxH[:pattern]`` — procedural frames
+    - ``-`` — packed RGBA on stdin (needs explicit sizes)
+    - ``*.y4m`` — YUV4MPEG2
+    - anything else — packed raw RGBA/BGRA file (needs explicit sizes)
+    """
+    if spec.startswith("synthetic:"):
+        parts = spec.split(":")
+        m = re.fullmatch(r"(\d+)x(\d+)", parts[1])
+        if not m:
+            raise SourceError(f"bad synthetic spec {spec!r} (synthetic:WxH)")
+        pattern = parts[2] if len(parts) > 2 else "pan"
+        return SyntheticSource(int(m.group(1)), int(m.group(2)),
+                               n_frames=frames, pattern=pattern)
+    if spec == "-":
+        return StdinSource(width, height, channel_order)
+    if spec.endswith(".y4m"):
+        return Y4MSource(spec)
+    return RawVideoSource(spec, width, height, channel_order)
