@@ -1,0 +1,98 @@
+"""North-star benchmark: 1080p->4K motion-compensated fps doubling on one chip.
+
+Prints ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N/target}
+
+Baseline context (BASELINE.md): the reference publishes no numbers; the
+accountable target is sustaining 30->60 fps 1080p->4K interpolation on one
+TPU chip (i.e. >= 60 interpolated output frames/sec), p99 < 8 ms/output
+frame.  vs_baseline is measured output fps / 60.
+
+Methodology: the production pipeline step (pyramid motion + block warp +
+2x Lanczos upscale + uint8 conversions, bf16) is enqueued back-to-back over
+distinct in-HBM frame pairs with one device sync at the end — steady-state
+device throughput, the regime the streaming engine's async pipeline
+approaches.  (In this environment host<->device transfers cross the axon
+relay at ~35 ms/round-trip and ~30 MB/s, so per-step host-synced latency is
+relay-dominated and reported to stderr for context, not as the metric.)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpufg.config import EngineConfig, resolve_sizes
+    from tpufg.engine.pipeline import make_interp_step
+
+    cfg = resolve_sizes(EngineConfig(
+        input_width=1920, input_height=1080,
+        output_width=3840, output_height=2160,
+        dtype="bf16", motion_mode="pyramid",
+    ))
+    step = make_interp_step(cfg)
+
+    rng = np.random.default_rng(0)
+    pairs = []
+    base = rng.integers(0, 256, (1080 + 32, 1920 + 32, 4), dtype=np.uint8)
+    for i in range(4):
+        a = base[i:1080 + i, 2 * i:1920 + 2 * i]
+        b = base[i + 1:1081 + i, 2 * i + 2:1922 + 2 * i]
+        pairs.append((jnp.asarray(np.ascontiguousarray(a)),
+                      jnp.asarray(np.ascontiguousarray(b))))
+
+    # warm-up / compile
+    t0 = time.perf_counter()
+    out = step(*pairs[0])
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = np.asarray(leaf.ravel()[0:1])
+    log(f"compile+first-run: {time.perf_counter() - t0:.1f}s")
+
+    # steady-state throughput: enqueue N steps, one sync
+    n = 40
+    t0 = time.perf_counter()
+    last = None
+    for i in range(n):
+        last = step(*pairs[i % len(pairs)])
+    leaf = jax.tree_util.tree_leaves(last)[0]
+    _ = np.asarray(leaf.ravel()[0:1])
+    dt = time.perf_counter() - t0
+    per_pair_ms = dt / n * 1e3
+    # each step emits 2 output frames (interpolated + scaled current)
+    out_fps = 2.0 * n / dt
+    per_out_ms = per_pair_ms / 2.0
+    log(f"steady-state: {per_pair_ms:.2f} ms/pair -> {per_out_ms:.2f} ms/output "
+        f"frame -> {out_fps:.1f} output fps")
+
+    # host-synced per-step latency distribution (relay-dominated here)
+    lats = []
+    for i in range(12):
+        t0 = time.perf_counter()
+        o = step(*pairs[i % len(pairs)])
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        _ = np.asarray(leaf.ravel()[0:1])
+        lats.append(time.perf_counter() - t0)
+    lats = np.array(lats) * 1e3
+    log(f"host-synced step latency: p50 {np.percentile(lats, 50):.1f} ms "
+        f"p99 {np.percentile(lats, 99):.1f} ms (includes ~35 ms relay RTT)")
+
+    print(json.dumps({
+        "metric": "1080p->4K interpolated output fps/chip (pyramid+warp+scale, bf16)",
+        "value": round(out_fps, 1),
+        "unit": "fps",
+        "vs_baseline": round(out_fps / 60.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Learned interpolation head (config 5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpufg.models import rife
+
+
+@pytest.fixture
+def triplet(rng):
+    prev = jnp.asarray(rng.random((2, 4, 32, 48)).astype(np.float32))
+    curr = jnp.asarray(rng.random((2, 4, 32, 48)).astype(np.float32))
+    target = 0.5 * (prev + curr)
+    return prev, curr, target
+
+
+def test_forward_shapes_finite(triplet):
+    prev, curr, _ = triplet
+    params = rife.init_params(jax.random.PRNGKey(0), hidden=32)
+    out = rife.forward(params, prev, curr, 0.5)
+    assert out.shape == prev.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_training_reduces_loss(triplet):
+    prev, curr, target = triplet
+    init_state, train_step, _ = rife.make_train_step(1e-3)
+    params, opt_state = init_state(jax.random.PRNGKey(0), 32)
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss = train_step(params, opt_state, prev, curr,
+                                             target)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_bilinear_warp_integer_shift(rng):
+    img = jnp.asarray(rng.random((1, 1, 8, 16)).astype(np.float32))
+    flow = jnp.full((1, 2, 8, 16), 2.0, jnp.float32)
+    out = rife.bilinear_warp(img, flow)
+    np.testing.assert_allclose(np.asarray(out[0, 0, :-2, :-2]),
+                               np.asarray(img[0, 0, 2:, 2:]), atol=1e-6)
+
+
+def test_warp_gradients_flow(rng):
+    img = jnp.asarray(rng.random((1, 1, 8, 16)).astype(np.float32))
+    flow = jnp.full((1, 2, 8, 16), 0.5, jnp.float32)
+    g = jax.grad(lambda f: jnp.sum(rife.bilinear_warp(img, f)))(flow)
+    assert bool(jnp.any(g != 0))
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_tp_sharded_training_step(rng):
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(devs[:8]).reshape(4, 2), axis_names=("dp", "tp"))
+    init_state, train_step, _ = rife.make_train_step(1e-4, mesh=mesh)
+    with mesh:
+        params, opt_state = init_state(jax.random.PRNGKey(0), 32)
+        prev = jnp.asarray(rng.random((8, 4, 32, 64)).astype(np.float32))
+        curr = jnp.asarray(rng.random((8, 4, 32, 64)).astype(np.float32))
+        target = 0.5 * (prev + curr)
+        params, opt_state, loss = train_step(params, opt_state, prev, curr,
+                                             target)
+    assert np.isfinite(float(loss))

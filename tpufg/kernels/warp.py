@@ -104,8 +104,10 @@ def _warp_kernel(mv_ref, prev_ref, curr_ref, out_ref, prev_s, curr_s, sem,
 
     def by_body(by, _):
         def bx_body(bx, band):
-            mdx = jnp.clip(mv_ref[0, by, bx], -F32(r), F32(r))
-            mdy = jnp.clip(mv_ref[1, by, bx], -F32(r), F32(r))
+            gby = ty * nby + by   # mv passed whole in SMEM (block specs
+            gbx = tx * nbx + bx   # can't tile a ragged MV grid)
+            mdx = jnp.clip(mv_ref[0, gby, gbx], -F32(r), F32(r))
+            mdy = jnp.clip(mv_ref[1, gby, gbx], -F32(r), F32(r))
             if single:
                 # pure warp: prev sampled at p + m (clamped at edges, no OOB
                 # blanking — used by the pyramid's residual refinement)
@@ -213,8 +215,7 @@ def warp_blend_block(
         kernel,
         grid=(n_ty, n_tx),
         in_specs=[
-            pl.BlockSpec((2, nby_t, nbx_t), lambda ty, tx: (0, ty, tx),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],

