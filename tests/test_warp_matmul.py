@@ -1,0 +1,84 @@
+"""Production MXU warp path vs the Pallas kernel and the oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import random_frame
+from tpufg.kernels.resize import box_downsample2
+from tpufg.kernels.warp import warp_blend_block
+from tpufg.kernels.warp_matmul import warp_blend_matmul
+from tpufg.ops import warp_blend
+
+
+def _chw(x):
+    return jnp.transpose(x, (2, 0, 1))
+
+
+@pytest.fixture
+def frames(rng):
+    return (jnp.asarray(random_frame(rng, 64, 256)).transpose(2, 0, 1),
+            jnp.asarray(random_frame(rng, 64, 256)).transpose(2, 0, 1))
+
+
+class TestWarpMatmul:
+    @pytest.mark.parametrize("t", [0.0, 0.25, 0.5, 1.0])
+    def test_matches_pallas_kernel(self, rng, frames, t):
+        prev, curr = frames
+        mv = jnp.asarray(
+            rng.uniform(-15, 15, (2, 4, 16)).astype(np.float32))
+        a = warp_blend_matmul(prev, curr, mv, t)
+        b = warp_blend_block(prev, curr, mv, factor=t)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_matches_oracle_uniform(self, rng, frames):
+        prev, curr = frames
+        mvu = jnp.broadcast_to(
+            jnp.array([3.25, -2.5], jnp.float32)[:, None, None], (2, 4, 16))
+        mvp = jnp.broadcast_to(jnp.array([3.25, -2.5], jnp.float32),
+                               (64, 256, 2))
+        ref = _chw(warp_blend(jnp.transpose(prev, (1, 2, 0)),
+                              jnp.transpose(curr, (1, 2, 0)), mvp, 0.5))
+        out = warp_blend_matmul(prev, curr, mvu, 0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_single_mode_integer_shift(self, frames):
+        prev, _ = frames
+        mv = jnp.full((2, 4, 16), 4.0, jnp.float32)
+        out = np.asarray(warp_blend_matmul(prev, prev, mv, single=True))
+        ref = np.asarray(prev)
+        np.testing.assert_allclose(out[:, :-4, :-4], ref[:, 4:, 4:], atol=1e-6)
+
+    def test_non128_width_padding(self, rng):
+        prev = jnp.asarray(rng.random((4, 64, 960), np.float32))
+        curr = jnp.asarray(rng.random((4, 64, 960), np.float32))
+        mv = jnp.asarray(rng.uniform(-5, 5, (2, 4, 60)).astype(np.float32))
+        out = warp_blend_matmul(prev, curr, mv, 0.5)
+        assert out.shape == (4, 64, 960)
+        # must agree with the Pallas kernel (which has no width restriction)
+        ref = warp_blend_block(prev, curr, mv, factor=0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def test_bf16_close(self, frames):
+        prev, curr = frames
+        mv = jnp.full((2, 4, 16), 3.5, jnp.float32)
+        a = warp_blend_matmul(prev, curr, mv, 0.5, dtype=jnp.bfloat16)
+        b = warp_blend_matmul(prev, curr, mv, 0.5)
+        assert float(jnp.max(jnp.abs(a - b))) < 0.02
+
+    def test_bad_mv_shape_rejected(self, frames):
+        prev, curr = frames
+        with pytest.raises(ValueError):
+            warp_blend_matmul(prev, curr, jnp.zeros((2, 3, 3)), 0.5)
+
+
+class TestBoxDownsample:
+    def test_matches_reshape_mean(self, rng):
+        x = jnp.asarray(rng.random((4, 36, 150), np.float32))
+        ref = np.asarray(x).reshape(4, 18, 2, 75, 2).mean(axis=(2, 4))
+        out = box_downsample2(x)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+
+    def test_odd_dims_rejected(self, rng):
+        with pytest.raises(ValueError):
+            box_downsample2(jnp.zeros((1, 7, 8)))

@@ -31,7 +31,7 @@ from tpufg.config import EngineConfig
 from tpufg.kernels.convert import frames_to_planar, planar_to_frames
 from tpufg.kernels.lanczos import lanczos_scale_fast
 from tpufg.kernels.motion import motion_search_tiled
-from tpufg.kernels.warp import warp_blend_block
+from tpufg.kernels.warp_matmul import warp_blend_matmul
 from tpufg.models.pyramid import pyramid_motion_search
 from tpufg.ops import oracle
 from tpufg.kernels.common import round_up
@@ -131,15 +131,18 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast") -> Callable:
             pp = _edge_pad_chw(p.astype(F32), hp, wp)
             cp = _edge_pad_chw(c.astype(F32), hp, wp)
             if mode == "pyramid":
+                # latency mode: skip the full-res residual refine (the
+                # single most expensive stage; MV lattice effectively 2x)
                 mv = pyramid_motion_search(
                     pp, cp, levels=PYR_LEVELS, base_radius=4,
-                    refine_radius=2, block_size=b, grid=MV_GRID)
+                    refine_radius=2, block_size=b, grid=MV_GRID,
+                    skip_finest_refine=1)
             else:  # exhaustive parity kernel, subsampled to the MV lattice
                 mv_px = motion_search_tiled(pp, cp, block_size=b,
                                             search_radius=r, exact_box=False)
                 mv = mv_px[:, MV_GRID // 2::MV_GRID, MV_GRID // 2::MV_GRID]
-            warped = warp_blend_block(pp, cp, -mv, factor=t, block=MV_GRID,
-                                      search_radius=max(r, 8))
+            warped = warp_blend_matmul(pp, cp, -mv, factor=t, block=MV_GRID,
+                                       search_radius=max(r, 8), dtype=dt)
             interp = warped[:, :h, :w]
         out0 = lanczos_scale_fast(interp.astype(dt), out_h, out_w, a)
         out1 = lanczos_scale_fast(c, out_h, out_w, a)

@@ -213,6 +213,11 @@ class Y4MSource(FrameSource):
                 self._ch_, self._cw)
             v = np.frombuffer(data[ysz + csz:], np.uint8).reshape(
                 self._ch_, self._cw)
+            from tpufg.io import native
+            rgba = native.yuv_to_rgba(y, u, v)  # C path when available
+            if rgba is not None:
+                yield rgba
+                continue
             if self._cw != self._w:  # 420 -> nearest upsample
                 u = u.repeat(2, 0).repeat(2, 1)[: self._h, : self._w]
                 v = v.repeat(2, 0).repeat(2, 1)[: self._h, : self._w]

@@ -1,0 +1,211 @@
+"""Block-granular warp+blend as batched MXU matmuls (pure XLA).
+
+Production warp path.  The Pallas block-warp (tpufg.kernels.warp) is
+bit-parity-tested against the oracle but bounded by per-op fixed costs on
+TPU (measured ~35-75 ns/vector-op: 64 blocks x ~50 small ops/tile dominates
+its runtime).  This formulation turns the same math into a handful of LARGE
+ops the MXU eats:
+
+  - the horizontal warp of a 16-row block-band is multiplication by a
+    2-banded selection matrix S (one band at floor(shift) weighted 1-fx,
+    one at floor(shift)+1 weighted fx) — built at runtime from the MV field
+    with iota comparisons and applied as one batched matmul per column
+    tile;
+  - the vertical warp is a per-block 2-banded matrix V applied as one
+    batched matmul over (band, block) batches;
+  - OOB transparent-black masking and the t-blend are fused elementwise.
+
+Matches the Pallas kernel / oracle to f32 rounding (the selection matmuls
+sum exactly two weighted taps per output).  Semantics identical: MV in
+pixel units, forward flow, clamp-to-edge taps, uv-outside-[0,1] blanked
+(interpolate.comp:15-22, 34-38).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpufg.kernels.common import cdiv, round_up
+
+F32 = jnp.float32
+
+
+def _band_matrices(shift, frac, n_in, n_out, offset):
+    """2-banded selection matrices from integer shifts + fractions.
+
+    shift: [...] int32, frac: [...] f32 with one entry per output element
+    group; returns S [..., n_in, n_out] with S[..., i, j] = (1-frac) where
+    i == j + offset + shift, frac where i == j + offset + shift + 1.
+    """
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n_in, n_out), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n_in, n_out), 1)
+    d = ii - jj - offset
+    sh = shift[..., None, None]
+    fr = frac[..., None, None]
+    return (jnp.where(d == sh, F32(1.0) - fr, F32(0.0))
+            + jnp.where(d == sh + 1, fr, F32(0.0)))
+
+
+def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
+              dtype, prec, max_off):
+    """Warp one frame by per-block offsets.
+
+    ext: [C, H + 2*halo, W + 2*halo] edge-padded planar frame.
+    ix0/iy0: [n_by, n_bx] int32 floor offsets; fx/fy fractions.
+    Returns [C, H, W].
+    """
+    c = ext.shape[0]
+    band_rows = g + 2 * halo  # rows a band's blocks can reach (|off| <= halo-1)
+
+    # --- overlapping row bands: band by covers ext rows
+    # [by*g, by*g + band_rows) = global [by*g - halo, by*g + g + halo).
+    # Built from g-row groups with shifted slices + concat (a plain XLA
+    # gather materializes ~140 MB/frame and measured ~5x slower).
+    we = ext.shape[-1]
+    n_seg = band_rows // g
+    assert band_rows % g == 0 and ext.shape[1] % g == 0
+    groups = ext.astype(dtype).reshape(c, ext.shape[1] // g, g, we)
+    bands = jnp.concatenate(
+        [groups[:, i:i + n_by] for i in range(n_seg)], axis=2
+    )                                                     # [C, n_by, R, We]
+
+    # --- horizontal: per-column 2-banded shift matrices.  Output col tile t
+    # (128 wide) reads ext cols [t*128+1, t*128+128+2*halo) — a 256 window.
+    # Instead of materializing overlapping windows, split each window into
+    # its two aligned 128-col segments and run TWO big batched einsums.
+    sx = jnp.repeat(ix0, g, axis=1)                       # [n_by, W]
+    fxc = jnp.repeat(fx, g, axis=1)
+    n_tx = w // 128
+    span = 256
+    ii = jax.lax.broadcasted_iota(jnp.int32, (span, 128), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (span, 128), 1)
+    d = ii - jj - halo                                    # [256, 128]
+    sh = jnp.transpose(sx.reshape(n_by, n_tx, 128), (1, 0, 2))[:, :, None, :]
+    fr = jnp.transpose(fxc.reshape(n_by, n_tx, 128), (1, 0, 2))[:, :, None, :]
+    s_full = (jnp.where(d[None, None] == sh, F32(1.0) - fr, F32(0.0))
+              + jnp.where(d[None, None] == sh + 1, fr, F32(0.0)))
+    s_full = s_full.astype(dtype)                         # [n_tx,n_by,256,128]
+    segs = bands.reshape(c, n_by, band_rows, n_tx + 1, 128).astype(dtype)
+    hx = (jnp.einsum("cbrtw,tbwj->cbrtj", segs[..., :-1, :],
+                     s_full[:, :, :128, :], precision=prec,
+                     preferred_element_type=F32)
+          + jnp.einsum("cbrtw,tbwj->cbrtj", segs[..., 1:, :],
+                       s_full[:, :, 128:, :], precision=prec,
+                       preferred_element_type=F32))
+    hx = hx.reshape(c, n_by, band_rows, w)                # [C, n_by, R, W]
+
+    # --- vertical: one-hot accumulation over the possible integer offsets.
+    # (A batched matmul formulation measured 3.4 ms: 8k tiny [16,64]@[64,64]
+    # instances starve the MXU.  33 fused masked-lerp slices on the VPU are
+    # far cheaper.)
+    iy0c = jnp.repeat(iy0, g, axis=1)[None, :, None, :]   # [1,n_by,1,W]
+    fyc = jnp.repeat(fy, g, axis=1)[None, :, None, :].astype(dtype)
+    hx = hx.astype(dtype)
+    out = jnp.zeros((c, n_by, g, w), F32)
+    for delta in range(-max_off, max_off + 1):
+        m = (iy0c == delta)
+        rows0 = hx[:, :, halo + delta: halo + delta + g, :]
+        rows1 = hx[:, :, halo + delta + 1: halo + delta + g + 1, :]
+        lerped = rows0 * (F32(1.0) - fyc).astype(dtype) + rows1 * fyc
+        out = out + jnp.where(m, lerped.astype(F32), F32(0.0))
+    return out.reshape(c, h, w)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("factor", "block", "search_radius", "single", "dtype",
+                     "_valid_w"),
+)
+def warp_blend_matmul(
+    prev: jax.Array,
+    curr: jax.Array,
+    mv: jax.Array,
+    factor: float = 0.5,
+    block: int = 16,
+    search_radius: int = 16,
+    single: bool = False,
+    dtype=jnp.float32,
+    _valid_w: int | None = None,
+) -> jax.Array:
+    """Motion-compensated blend (production XLA/MXU path).
+
+    Same contract as tpufg.kernels.warp.warp_blend_block: planar [C, H, W]
+    f32 frames, [2, H//block, W//block] pixel-unit forward-flow MVs.
+    ``dtype`` selects the matmul precision (bf16 for production).
+    W must be a multiple of 128 and H of ``block``.
+    """
+    n_ch, h, w = prev.shape
+    g = int(block)
+    r = int(search_radius)
+    if h % g or w % g:
+        raise ValueError(f"frame {h}x{w}: H%{g} and W%{g} must be 0")
+    if w % 128:
+        # column tiling is 128-wide: edge-pad frames + MV grid, crop after
+        wp = round_up(w, 128)
+        pw = wp - w
+        prev = jnp.pad(prev, ((0, 0), (0, 0), (0, pw)), mode="edge")
+        curr = jnp.pad(curr, ((0, 0), (0, 0), (0, pw)), mode="edge")
+        mv = jnp.pad(mv, ((0, 0), (0, 0), (0, pw // g)), mode="edge")
+        out = warp_blend_matmul(prev, curr, mv, factor=factor, block=block,
+                                search_radius=search_radius, single=single,
+                                dtype=dtype, _valid_w=w)
+        return out[:, :, :w]
+    n_by, n_bx = h // g, w // g
+    if mv.shape != (2, n_by, n_bx):
+        raise ValueError(f"mv shape {mv.shape} != (2, {n_by}, {n_bx})")
+    halo = round_up(r + 2, 8)
+    while (2 * halo) % g:   # band construction needs g | 2*halo
+        halo += 8
+    if halo > 63:
+        raise ValueError("search radius too large for the 256-col window")
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    t = F32(factor)
+
+    mdx = jnp.clip(mv[0].astype(F32), -r, r)
+    mdy = jnp.clip(mv[1].astype(F32), -r, r)
+
+    def pad(x):
+        # cols padded to exactly (n_tx+1)*128 so windows split into aligned
+        # 128-col segments
+        return jnp.pad(x.astype(F32),
+                       ((0, 0), (halo, halo), (halo, 128 - halo)),
+                       mode="edge")
+
+    def offsets(scale):
+        ox = mdx * scale
+        oy = mdy * scale
+        ix0 = jnp.floor(ox)
+        iy0 = jnp.floor(oy)
+        return (ix0.astype(jnp.int32), ox - ix0,
+                iy0.astype(jnp.int32), oy - iy0)
+
+    valid_w = _valid_w if _valid_w is not None else w
+
+    def oob_mask(scale):
+        # shader blanking: sample uv outside [0,1] -> 0 (interpolate.comp:17)
+        # (bounds use the pre-padding width when the frame was widened)
+        px = (jnp.arange(w, dtype=F32)[None, :]
+              + jnp.repeat(mdx * scale, g, axis=1).repeat(g, axis=0)
+              [:h, :w])
+        py = (jnp.arange(h, dtype=F32)[:, None]
+              + jnp.repeat(mdy * scale, g, axis=1).repeat(g, axis=0)
+              [:h, :w])
+        ok = ((px >= -0.5) & (px <= valid_w - 0.5)
+              & (py >= -0.5) & (py <= h - 0.5))
+        return ok.astype(F32)[None]
+
+    kw = dict(g=g, halo=halo, n_by=n_by, n_bx=n_bx, h=h, w=w,
+              dtype=dtype, prec=prec, max_off=r)
+    if single:
+        return _warp_one(pad(prev), *offsets(F32(1.0)), **kw)
+
+    p_ext = pad(prev)
+    c_ext = pad(curr)
+    warped_p = _warp_one(p_ext, *offsets(-t), **kw)
+    warped_c = _warp_one(c_ext, *offsets(F32(1.0) - t), **kw)
+    return (warped_p * oob_mask(-t) * (F32(1.0) - t)
+            + warped_c * oob_mask(F32(1.0) - t) * t)

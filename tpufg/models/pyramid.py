@@ -30,15 +30,15 @@ import jax
 import jax.numpy as jnp
 
 from tpufg.kernels.motion import motion_search_tiled
-from tpufg.kernels.warp import warp_blend_block
+from tpufg.kernels.warp_matmul import warp_blend_matmul
 
 F32 = jnp.float32
 
 
 def _downsample2(x: jax.Array) -> jax.Array:
     """2x2 box filter downsample of planar [C, H, W] (H, W even)."""
-    c, h, w = x.shape
-    return x.reshape(c, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+    from tpufg.kernels.resize import box_downsample2
+    return box_downsample2(x)
 
 
 def _block_subsample(mv: jax.Array, g: int) -> jax.Array:
@@ -49,7 +49,7 @@ def _block_subsample(mv: jax.Array, g: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("levels", "base_radius", "refine_radius", "block_size",
-                     "grid", "interpret"),
+                     "grid", "interpret", "skip_finest_refine"),
 )
 def pyramid_motion_search(
     prev: jax.Array,
@@ -60,12 +60,18 @@ def pyramid_motion_search(
     block_size: int = 8,
     grid: int = 16,
     interpret: bool | None = None,
+    skip_finest_refine: int = 0,
 ) -> jax.Array:
     """Coarse-to-fine block-matching motion estimation.
 
     ``prev``/``curr``: planar [C, H, W] f32; H, W must be divisible by
     ``grid * 2**(levels-1)``.  Returns f32 [2, H/grid, W/grid] pixel-unit
     backward-flow MVs on the ``grid``-granular block lattice.
+
+    ``skip_finest_refine``: number of the finest levels whose residual
+    search is skipped (MVs upsampled instead) — the streaming engine's
+    latency mode uses 1 (full-res refinement is the single most expensive
+    stage; MV granularity effectively halves, like half-pel codec search).
     """
     c, h, w = prev.shape
     scale = grid * 2 ** (levels - 1)
@@ -92,12 +98,14 @@ def pyramid_motion_search(
         p_l, q_l = pyr[lvl]
         # upsample MV grid 2x: same block lattice at the finer level
         mv = jnp.repeat(jnp.repeat(mv, 2, axis=1), 2, axis=2) * F32(2.0)
+        if lvl < skip_finest_refine:
+            continue
         max_disp = base_radius * 2 ** (levels - 1 - lvl) + \
             sum(refine_radius * 2 ** k for k in range(levels - 1 - lvl))
         # warp prev by the current estimate, then search the residual
-        warped = warp_blend_block(
+        warped = warp_blend_matmul(
             p_l, p_l, mv, block=grid, search_radius=max(int(max_disp), 1),
-            interpret=interpret, single=True,
+            single=True,
         )
         res_px = motion_search_tiled(
             warped, q_l, block_size=block_size, search_radius=refine_radius,
