@@ -1,0 +1,106 @@
+"""Stats overlay, device ingest ring, checkpointing, training CLI."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpufg.engine.overlay import draw_stats, render_text
+from tpufg.engine.ring import DeviceIngestRing
+from tpufg.utils.checkpoint import load_pytree, save_pytree
+
+
+class TestOverlay:
+    def test_render_text_shape(self):
+        m = render_text("FPS: 60.0", scale=2)
+        assert m.shape == (14, 9 * 6 * 2)
+        assert m.any()
+
+    def test_draw_stats_marks_pixels(self):
+        frame = np.zeros((64, 512, 4), np.uint8)
+        out = draw_stats(frame, 59.9, (1920, 1080), (3840, 2160))
+        assert (out == 255).any()
+        # text starts at (10,10) like the reference (scaler.cpp:600)
+        assert not out[:10].any() and not out[:, :10].any()
+
+    def test_draw_stats_small_frame_no_crash(self):
+        frame = np.zeros((12, 16, 4), np.uint8)
+        draw_stats(frame, 1.0, (1, 1), (2, 2))
+
+
+class TestIngestRing:
+    def test_order_and_completeness(self, rng):
+        frames = [rng.integers(0, 256, (8, 16, 4), dtype=np.uint8)
+                  for _ in range(7)]
+        ring = DeviceIngestRing(iter(frames), depth=3)
+        out = [np.asarray(x) for x in ring]
+        assert len(out) == 7
+        for a, b in zip(out, frames):
+            np.testing.assert_array_equal(a, b)
+
+    def test_bad_depth(self):
+        with pytest.raises(ValueError):
+            DeviceIngestRing(iter([]), depth=0)
+
+
+class TestCheckpoint:
+    def test_roundtrip_bitwise(self, tmp_path, rng):
+        tree = {"a": {"w": jnp.asarray(rng.random((3, 4), np.float32))},
+                "b": [jnp.arange(5), jnp.asarray(2.5)]}
+        p = str(tmp_path / "ckpt.npz")
+        save_pytree(p, tree)
+        like = jax.tree_util.tree_map(jnp.zeros_like, tree)
+        back = load_pytree(p, like)
+        for x, y in zip(jax.tree_util.tree_leaves(tree),
+                        jax.tree_util.tree_leaves(back)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_shape_mismatch_rejected(self, tmp_path):
+        p = str(tmp_path / "ckpt.npz")
+        save_pytree(p, {"w": jnp.zeros((2, 2))})
+        with pytest.raises(ValueError):
+            load_pytree(p, {"w": jnp.zeros((3, 3))})
+
+
+class TestTrainCLI:
+    def test_trains_and_checkpoints(self, tmp_path):
+        from tpufg.models.train import main as train_main
+        ckpt = str(tmp_path / "m.npz")
+        rc = train_main(["synthetic:96x128", "--steps", "4", "--batch", "2",
+                        "--crop", "64x64", "--hidden", "16",
+                        "--checkpoint", ckpt, "--log-every", "2"])
+        assert rc == 0
+        from tpufg.models import rife
+        params = rife.load_params(ckpt)
+        assert params["enc2"]["w"].shape[0] == 16
+
+    def test_bad_crop_rejected(self):
+        from tpufg.models.train import main as train_main
+        assert train_main(["synthetic:32x32", "--crop", "banana"]) == 1
+        from tpufg.utils.logging import get_logger
+        get_logger().clear_error()
+
+
+class TestLearnedEngineMode:
+    def test_learned_step(self, tmp_path, rng):
+        from tpufg.config import EngineConfig, resolve_sizes
+        from tpufg.engine.pipeline import make_interp_step
+        from tpufg.models import rife
+
+        params = rife.init_params(jax.random.PRNGKey(0), hidden=16)
+        cfg = resolve_sizes(EngineConfig(
+            input_width=64, input_height=48, output_width=128,
+            output_height=96, dtype="f32", motion_mode="learned"))
+        step = make_interp_step(cfg, model_params=params)
+        a = rng.integers(0, 256, (48, 64, 4), dtype=np.uint8)
+        b = rng.integers(0, 256, (48, 64, 4), dtype=np.uint8)
+        out_i, out_c = step(jnp.asarray(a), jnp.asarray(b))
+        assert out_i.shape == (96, 128, 4)
+
+    def test_learned_requires_params(self):
+        from tpufg.config import EngineConfig, resolve_sizes
+        from tpufg.engine.pipeline import make_interp_step
+        cfg = resolve_sizes(EngineConfig(
+            input_width=64, input_height=48, motion_mode="learned"))
+        with pytest.raises(ValueError):
+            make_interp_step(cfg)

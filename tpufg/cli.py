@@ -60,7 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stop after N input frames")
     p.add_argument("--no-pacing", action="store_true",
                    help="run unpaced (benchmark mode)")
-    p.add_argument("--motion-mode", choices=["pyramid", "exhaustive", "none"],
+    p.add_argument("--model-path", default=None, metavar="CKPT",
+                   help="learned-head checkpoint (.npz) for "
+                        "--motion-mode learned")
+    p.add_argument("--overlay", action="store_true",
+                   help="burn the FPS/Input/Output stats line into output "
+                        "frames (reference scaler overlay)")
+    p.add_argument("--motion-mode", choices=["pyramid", "exhaustive", "none", "learned"],
                    default="pyramid", help="motion estimation strategy")
     p.add_argument("--precision", choices=["fast", "exact"], default="fast",
                    help="fast = Pallas kernels; exact = f32 oracle "
@@ -101,6 +107,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         search_radius=args.search_radius,
         dtype=args.dtype,
         motion_mode=args.motion_mode,
+        overlay=args.overlay,
     )
 
     from tpufg.io.sinks import open_sink
@@ -132,10 +139,21 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     from tpufg.engine.runner import run_stream
 
+    model_params = None
+    if args.motion_mode == "learned":
+        if not args.model_path:
+            log.error("--motion-mode learned requires --model-path")
+            sink.close()
+            source.close()
+            return 1
+        from tpufg.models import rife
+        model_params = rife.load_params(args.model_path)
+
     try:
         stats = run_stream(cfg, source, sink, precision=args.precision,
                            max_frames=args.frames,
-                           paced=not args.no_pacing)
+                           paced=not args.no_pacing,
+                           model_params=model_params)
     except KeyboardInterrupt:
         log.info("Interrupted, cleaning up...")
         return 130

@@ -54,11 +54,14 @@ class EngineConfig:
     dtype: str = "bf16"           # {"bf16", "f32"}
     # motion estimation strategy: "exhaustive" is the parity kernel
     # (motion.comp semantics); "pyramid" is the fast hierarchical search.
-    motion_mode: str = "pyramid"  # {"exhaustive", "pyramid", "none"}
+    motion_mode: str = "pyramid"  # {"exhaustive", "pyramid", "none", "learned"}
     # fps multiplication factor for streaming interpolation (30->60 is 2)
     fps_multiplier: int = 2
     # number of in-flight frame slots in the device ring
     ring_slots: int = 3
+    # burn the reference-style stats line into output frames
+    # (scaler.cpp:584-600 equivalent)
+    overlay: bool = False
 
     def validate(self) -> "EngineConfig":
         if not (0.0 <= self.interpolation_factor <= 1.0):
@@ -69,7 +72,7 @@ class EngineConfig:
             raise ConfigError(f"target fps must be positive, got {self.target_fps}")
         if self.dtype not in ("bf16", "f32"):
             raise ConfigError(f"dtype must be bf16 or f32, got {self.dtype!r}")
-        if self.motion_mode not in ("exhaustive", "pyramid", "none"):
+        if self.motion_mode not in ("exhaustive", "pyramid", "none", "learned"):
             raise ConfigError(f"unknown motion mode {self.motion_mode!r}")
         if self.block_size <= 0 or self.search_radius < 0:
             raise ConfigError("block_size must be >0 and search_radius >=0")

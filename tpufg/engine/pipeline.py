@@ -86,11 +86,14 @@ def make_exact_scale_step(cfg: EngineConfig) -> Callable:
     return step
 
 
-def make_interp_step(cfg: EngineConfig, precision: str = "fast") -> Callable:
+def make_interp_step(cfg: EngineConfig, precision: str = "fast",
+                     model_params=None) -> Callable:
     """(prev_u8, curr_u8) -> (interp_scaled_u8, curr_scaled_u8).
 
     The fps-doubling streaming step: emits the motion-compensated midpoint
     (or cfg.interpolation_factor point) and the scaled current frame.
+    ``model_params``: learned-head parameters, required for
+    motion_mode="learned" (config 5).
     """
     out_h, out_w = cfg.output_height, cfg.output_width
     t = cfg.interpolation_factor
@@ -99,9 +102,13 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast") -> Callable:
     r = cfg.search_radius
     mode = cfg.motion_mode
     dt = _dtype(cfg)
+    if mode == "learned" and model_params is None:
+        raise ValueError("motion_mode='learned' requires model_params "
+                         "(--model-path)")
 
     if precision == "exact":
-        @jax.jit
+        # donate prev: the caller drops it after this step (ring hygiene)
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def step(prev_u8, curr_u8):
             p = oracle.dequantize_unorm8(prev_u8)
             c = oracle.dequantize_unorm8(curr_u8)
@@ -116,7 +123,8 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast") -> Callable:
 
         return step
 
-    @jax.jit
+    # donate prev: after this step the streaming loop only keeps curr
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(prev_u8, curr_u8):
         p = frames_to_planar(prev_u8, dt)
         c = frames_to_planar(curr_u8, dt)
@@ -124,6 +132,13 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast") -> Callable:
         if mode == "none":
             interp = (p.astype(F32) * F32(1.0 - t)
                       + c.astype(F32) * F32(t))
+        elif mode == "learned":
+            # config 5: RIFE-style head predicts the in-between frame
+            from tpufg.models import rife
+            hp, wp = round_up(h, 4), round_up(w, 4)
+            pp = _edge_pad_chw(p.astype(F32), hp, wp)[None]
+            cp = _edge_pad_chw(c.astype(F32), hp, wp)[None]
+            interp = rife.forward(model_params, pp, cp, t)[0, :, :h, :w]
         else:
             # pad to the motion/warp lattice (pyramid needs grid*2^(L-1))
             mult = MV_GRID * 2 ** (PYR_LEVELS - 1)

@@ -56,16 +56,16 @@ class StreamStats:
 
 
 class StreamingEngine:
-    def __init__(self, cfg: EngineConfig, precision: str = "fast"):
+    def __init__(self, cfg: EngineConfig, precision: str = "fast",
+                 model_params=None):
         cfg.validate()
         self.cfg = cfg
         self.precision = precision
         self.log = get_logger()
         if cfg.enable_interpolation:
-            if precision == "exact":
-                self._step2 = make_interp_step(cfg, "exact")
-            else:
-                self._step2 = make_interp_step(cfg)
+            self._step2 = make_interp_step(
+                cfg, "exact" if precision == "exact" else "fast",
+                model_params=model_params)
         self._step1 = (make_exact_scale_step(cfg) if precision == "exact"
                        else make_scale_step(cfg))
         self._fps_win = FpsWindow(cfg.fps_window)
@@ -81,16 +81,27 @@ class StreamingEngine:
 
         def flush_pending():
             for arr in pending:
-                sink.write(np.asarray(arr))
+                if cfg.overlay:
+                    from tpufg.engine.overlay import draw_stats
+                    # np.array: device readback is read-only; force a copy
+                    host = draw_stats(
+                        np.array(arr), self._fps_win.fps,
+                        (cfg.input_width, cfg.input_height),
+                        (cfg.output_width, cfg.output_height))
+                else:
+                    host = np.asarray(arr)
+                sink.write(host)
                 stats.frames_out += 1
             pending.clear()
 
+        from tpufg.engine.ring import DeviceIngestRing
+
         next_deadline = time.perf_counter()
-        for i, frame in enumerate(source):
+        ring = DeviceIngestRing(source, depth=max(1, cfg.ring_slots - 1))
+        for i, dev in enumerate(ring):
             if max_frames is not None and i >= max_frames:
                 break
             t0 = time.perf_counter()
-            dev = jax.device_put(frame)
             if cfg.enable_interpolation and prev_dev is not None:
                 out_i, out_c = self._step2(prev_dev, dev)
                 outs = [out_i, out_c]
@@ -127,5 +138,6 @@ class StreamingEngine:
 
 def run_stream(cfg: EngineConfig, source: FrameSource, sink: FrameSink,
                precision: str = "fast", max_frames: Optional[int] = None,
-               paced: bool = True) -> StreamStats:
-    return StreamingEngine(cfg, precision).run(source, sink, max_frames, paced)
+               paced: bool = True, model_params=None) -> StreamStats:
+    return StreamingEngine(cfg, precision, model_params).run(
+        source, sink, max_frames, paced)

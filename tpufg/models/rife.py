@@ -131,6 +131,21 @@ def forward(params: dict, prev: jax.Array, curr: jax.Array,
     return (warped_p * w_p + warped_c * w_c) / (w_p + w_c + F32(1e-6))
 
 
+def load_params(path: str) -> dict:
+    """Load a checkpoint saved by tpufg.utils.checkpoint.save_pytree.
+
+    The hidden width is inferred from the first leaf (body1 bias).
+    """
+    import numpy as np2
+
+    from tpufg.utils.checkpoint import load_pytree
+
+    data = np2.load(path)
+    hidden = int(data["leaf_0"].shape[0])  # body1.b
+    like = init_params(jax.random.PRNGKey(0), hidden)
+    return load_pytree(path, like)
+
+
 def loss_fn(params, prev, curr, target, t: float = 0.5):
     pred = forward(params, prev, curr, t)
     return jnp.mean(jnp.abs(pred - target.astype(F32)))

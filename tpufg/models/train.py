@@ -1,0 +1,158 @@
+"""Self-supervised training for the learned interpolation head.
+
+Trains on frame triplets from any engine source: predict the middle frame
+of (f[i-1], f[i+1]) and take f[i] as ground truth — the standard
+frame-interpolation training scheme.  The reference has no training of any
+kind (no model code — SURVEY.md §0); this is the config-5 path.
+
+Usage:
+    python -m tpufg.models.train INPUT [--steps N] [--batch B]
+        [--crop HxW] [--lr LR] [--hidden H] [--checkpoint out.npz]
+        [--resume ckpt.npz] [--dp N --tp N]
+
+INPUT accepts the same specs as the engine CLI (synthetic:WxH, *.y4m, raw).
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+import time
+
+import numpy as np
+
+from tpufg.utils.logging import get_logger
+
+
+def _triplets(source, crop_h, crop_w, batch, seed=0):
+    """Yield (prev, target, curr) batches of planar f32 crops."""
+    rng = np.random.default_rng(seed)
+    frames = []
+    batch_buf = []
+    for frame in source:
+        frames.append(frame)
+        if len(frames) > 3:
+            frames.pop(0)
+        if len(frames) == 3:
+            h, w = frames[0].shape[:2]
+            if h < crop_h or w < crop_w:
+                raise ValueError(
+                    f"frames {w}x{h} smaller than crop {crop_w}x{crop_h}")
+            y = rng.integers(0, h - crop_h + 1)
+            x = rng.integers(0, w - crop_w + 1)
+            trip = [np.transpose(f[y:y + crop_h, x:x + crop_w], (2, 0, 1))
+                    .astype(np.float32) / 255.0 for f in frames]
+            batch_buf.append(trip)
+            if len(batch_buf) == batch:
+                arr = np.asarray(batch_buf)  # [B, 3, C, H, W]
+                yield arr[:, 0], arr[:, 1], arr[:, 2]
+                batch_buf = []
+
+
+def main(argv=None) -> int:
+    log = get_logger()
+    p = argparse.ArgumentParser(prog="tpufg-train", description=__doc__)
+    p.add_argument("input")
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--crop", default="128x192")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--hidden", type=int, default=64)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel mesh axis size")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel mesh axis size")
+    args = p.parse_args(argv)
+
+    m = re.fullmatch(r"(\d+)x(\d+)", args.crop)
+    if not m:
+        log.error(f"bad --crop {args.crop!r} (HxW)")
+        return 1
+    crop_h, crop_w = int(m.group(1)), int(m.group(2))
+    if crop_h % 4 or crop_w % 4:
+        log.error("crop dims must be divisible by 4")
+        return 1
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpufg.io.sources import SourceError, open_source
+    from tpufg.models import rife
+    from tpufg.utils.checkpoint import load_pytree, save_pytree
+
+    mesh = None
+    if args.dp * args.tp > 1:
+        from jax.sharding import Mesh
+        devs = jax.devices()
+        if len(devs) < args.dp * args.tp:
+            log.error(f"need {args.dp * args.tp} devices, have {len(devs)}")
+            return 1
+        mesh = Mesh(np.array(devs[:args.dp * args.tp]).reshape(
+            args.dp, args.tp), axis_names=("dp", "tp"))
+
+    init_state, train_step, _ = rife.make_train_step(args.lr, mesh=mesh)
+    params, opt_state = init_state(jax.random.PRNGKey(0), args.hidden)
+    if args.resume:
+        params = load_pytree(args.resume, params)
+        log.info(f"resumed parameters from {args.resume}")
+
+    try:
+        source = open_source(args.input, frames=max(args.steps * args.batch
+                                                    + 8, 64))
+    except (SourceError, OSError) as e:
+        log.error(str(e))
+        return 1
+
+    def run():
+        step_i = 0
+        t0 = time.perf_counter()
+        losses = []
+        while step_i < args.steps:
+            for prev, target, curr in _triplets(
+                    source, crop_h, crop_w, args.batch):
+                params_, opt_state_, loss = train_step(
+                    run.params, run.opt_state, jnp.asarray(prev),
+                    jnp.asarray(curr), jnp.asarray(target))
+                run.params, run.opt_state = params_, opt_state_
+                losses.append(float(loss))
+                step_i += 1
+                if step_i % args.log_every == 0:
+                    rate = step_i / (time.perf_counter() - t0)
+                    log.info(f"step {step_i}/{args.steps}  loss "
+                             f"{np.mean(losses[-args.log_every:]):.5f}  "
+                             f"({rate:.1f} steps/s)")
+                if step_i >= args.steps:
+                    break
+            else:
+                log.warning("source exhausted before --steps; stopping")
+                break
+        return losses
+
+    run.params, run.opt_state = params, opt_state
+    ctx = mesh if mesh is not None else _nullcontext()
+    with ctx:
+        losses = run()
+    source.close()
+
+    if losses:
+        log.info(f"final loss {losses[-1]:.5f} (first {losses[0]:.5f})")
+    if args.checkpoint:
+        save_pytree(args.checkpoint, run.params)
+        log.info(f"saved parameters to {args.checkpoint}")
+    return 0
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
+if __name__ == "__main__":
+    sys.exit(main())
