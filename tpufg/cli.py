@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--overlay", action="store_true",
                    help="burn the FPS/Input/Output stats line into output "
                         "frames (reference scaler overlay)")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace into DIR")
+    p.add_argument("--debug-checks", action="store_true",
+                   help="enable NaN/Inf guards on every computation "
+                        "(debug builds' validation-layer analog)")
     p.add_argument("--motion-mode", choices=["pyramid", "exhaustive", "none", "learned"],
                    default="pyramid", help="motion estimation strategy")
     p.add_argument("--precision", choices=["fast", "exact"], default="fast",
@@ -149,11 +154,14 @@ def main(argv: Optional[list[str]] = None) -> int:
         from tpufg.models import rife
         model_params = rife.load_params(args.model_path)
 
+    from tpufg.utils.tracing import debug_checks, trace_session
+
     try:
-        stats = run_stream(cfg, source, sink, precision=args.precision,
-                           max_frames=args.frames,
-                           paced=not args.no_pacing,
-                           model_params=model_params)
+        with trace_session(args.trace), debug_checks(args.debug_checks):
+            stats = run_stream(cfg, source, sink, precision=args.precision,
+                               max_frames=args.frames,
+                               paced=not args.no_pacing,
+                               model_params=model_params)
     except KeyboardInterrupt:
         log.info("Interrupted, cleaning up...")
         return 130

@@ -65,8 +65,10 @@ def make_scale_step(cfg: EngineConfig) -> Callable:
 
     @jax.jit
     def step(frame_u8):
-        planar = frames_to_planar(frame_u8, dt)
-        scaled = lanczos_scale_fast(planar, out_h, out_w, a)
+        # storage/elementwise stay f32 (bf16 storage costs ~1 uint8 code);
+        # dt only selects the MXU operand precision
+        planar = frames_to_planar(frame_u8, F32)
+        scaled = lanczos_scale_fast(planar, out_h, out_w, a, compute_dtype=dt)
         return planar_to_frames(scaled)
 
     return step
@@ -126,8 +128,9 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
     # donate prev: after this step the streaming loop only keeps curr
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(prev_u8, curr_u8):
-        p = frames_to_planar(prev_u8, dt)
-        c = frames_to_planar(curr_u8, dt)
+        # f32 storage end to end; dt picks matmul operand precision only
+        p = frames_to_planar(prev_u8, F32)
+        c = frames_to_planar(curr_u8, F32)
         _, h, w = p.shape
         if mode == "none":
             interp = (p.astype(F32) * F32(1.0 - t)
@@ -159,8 +162,8 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
             warped = warp_blend_matmul(pp, cp, -mv, factor=t, block=MV_GRID,
                                        search_radius=max(r, 8), dtype=dt)
             interp = warped[:, :h, :w]
-        out0 = lanczos_scale_fast(interp.astype(dt), out_h, out_w, a)
-        out1 = lanczos_scale_fast(c, out_h, out_w, a)
+        out0 = lanczos_scale_fast(interp, out_h, out_w, a, compute_dtype=dt)
+        out1 = lanczos_scale_fast(c, out_h, out_w, a, compute_dtype=dt)
         return planar_to_frames(out0), planar_to_frames(out1)
 
     return step

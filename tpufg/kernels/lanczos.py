@@ -131,15 +131,34 @@ def _scale_kernel(row_start_ref, col_start_ref, img_ref, by_ref, bx_ref,
     )
     dma.start()
     dma.wait()
-    # full MXU precision for f32 inputs (default would round through bf16)
-    prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
-    # horizontal pass: [S_y, S_x] @ [S_x, T_ox] -> [S_y, T_ox]
-    tmp = jnp.dot(span_ref[:], bx_ref[0], preferred_element_type=F32,
-                  precision=prec)
-    # vertical pass: [T_oy, S_y] @ [S_y, T_ox] -> [T_oy, T_ox]
-    out = jnp.dot(by_ref[0], tmp.astype(compute_dtype), preferred_element_type=F32,
-                  precision=prec)
+    # image operands must keep >= 8-bit-code precision: a single-pass bf16
+    # matmul costs +-1/2 uint8 code and fails the 0.999-SSIM gate.  With
+    # f32 storage and bf16 compute, each pass splits the image into bf16
+    # hi+lo halves (2 MXU passes, f32 accumulate — Mosaic has no
+    # Precision.HIGH); weights stay bf16, their rounding is a fixed
+    # sub-1e-3 filter perturbation on centered data.
+    if compute_dtype == jnp.bfloat16 and span_ref.dtype == jnp.float32:
+        def split_dot(a_f32, b_bf16, swap=False):
+            hi = a_f32.astype(jnp.bfloat16)
+            lo = (a_f32 - hi.astype(F32)).astype(jnp.bfloat16)
+            if swap:
+                return (jnp.dot(b_bf16, hi, preferred_element_type=F32)
+                        + jnp.dot(b_bf16, lo, preferred_element_type=F32))
+            return (jnp.dot(hi, b_bf16, preferred_element_type=F32)
+                    + jnp.dot(lo, b_bf16, preferred_element_type=F32))
+
+        tmp = split_dot(span_ref[:], bx_ref[0])           # [S_y, T_ox]
+        out = split_dot(tmp, by_ref[0], swap=True)        # [T_oy, T_ox]
+    else:
+        prec = (jax.lax.Precision.HIGHEST
+                if span_ref.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        # horizontal pass: [S_y, S_x] @ [S_x, T_ox] -> [S_y, T_ox]
+        tmp = jnp.dot(span_ref[:], bx_ref[0], preferred_element_type=F32,
+                      precision=prec)
+        # vertical pass: [T_oy, S_y] @ [S_y, T_ox] -> [T_oy, T_ox]
+        out = jnp.dot(by_ref[0], tmp, preferred_element_type=F32,
+                      precision=prec)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
@@ -150,16 +169,21 @@ def lanczos_scale_fast(
     a: int = 3,
     tile_out: int = 256,
     interpret: bool | None = None,
+    compute_dtype=None,
 ) -> jax.Array:
     """Lanczos-``a`` resample of a planar frame stack.
 
     ``img``: [C, H, W] f32 or bf16 (planar channel-first — the framework's
     internal compute layout).  Returns [C, out_h, out_w] in the same dtype.
+    ``compute_dtype``: matmul operand precision (frames can stay f32 in HBM
+    while the MXU runs bf16); defaults to the input dtype.
     """
     if interpret is None:
         interpret = use_interpret()
     c, in_h, in_w = img.shape
     dtype = img.dtype
+    if compute_dtype is None:
+        compute_dtype = dtype
 
     t_ox = min(tile_out, round_up(out_w, 128))
     t_oy = min(tile_out, round_up(out_h, 8))
@@ -168,6 +192,12 @@ def lanczos_scale_fast(
     # vertical band is used as [T_oy, S_y]: transpose of the axis plan layout
     by = np.transpose(by_t, (0, 2, 1)).copy()
 
+    # centered operands halve bf16 rounding (weights renormalize to 1, so
+    # f(x - 1/2) + 1/2 == f(x) to f32 rounding)
+    center = compute_dtype == jnp.bfloat16 and dtype == jnp.float32
+    band_dtype = jnp.bfloat16 if center else dtype
+    if center:
+        img = img - jnp.asarray(0.5, dtype)
     img_p = jnp.pad(img, ((0, 0), (0, in_hp - in_h), (0, in_wp - in_w)))
     out_hp, out_wp = n_ty * t_oy, n_tx * t_ox
 
@@ -196,7 +226,7 @@ def lanczos_scale_fast(
     )
     kernel = functools.partial(
         _scale_kernel, span_y=span_y, span_x=span_x,
-        compute_dtype=dtype,
+        compute_dtype=compute_dtype,
     )
     out = pl.pallas_call(
         kernel,
@@ -207,7 +237,10 @@ def lanczos_scale_fast(
         jnp.asarray(row_starts),
         jnp.asarray(col_starts),
         img_p,
-        jnp.asarray(by, dtype=dtype),
-        jnp.asarray(bx, dtype=dtype),
+        jnp.asarray(by, dtype=band_dtype),
+        jnp.asarray(bx, dtype=band_dtype),
     )
-    return out[:, :out_h, :out_w]
+    out = out[:, :out_h, :out_w]
+    if center:
+        out = out + jnp.asarray(0.5, dtype)
+    return out

@@ -1,24 +1,26 @@
-"""Block-granular warp+blend as batched MXU matmuls (pure XLA).
+"""Block-granular warp+blend as fused one-hot shifts (pure XLA).
 
 Production warp path.  The Pallas block-warp (tpufg.kernels.warp) is
 bit-parity-tested against the oracle but bounded by per-op fixed costs on
-TPU (measured ~35-75 ns/vector-op: 64 blocks x ~50 small ops/tile dominates
-its runtime).  This formulation turns the same math into a handful of LARGE
-ops the MXU eats:
+TPU (measured ~35-75 ns/vector-op: 64 blocks x ~50 small ops/tile dominate
+its runtime).  This formulation turns the same math into a few dozen LARGE
+fused elementwise ops:
 
-  - the horizontal warp of a 16-row block-band is multiplication by a
-    2-banded selection matrix S (one band at floor(shift) weighted 1-fx,
-    one at floor(shift)+1 weighted fx) — built at runtime from the MV field
-    with iota comparisons and applied as one batched matmul per column
-    tile;
-  - the vertical warp is a per-block 2-banded matrix V applied as one
-    batched matmul over (band, block) batches;
+  - frames are viewed as overlapping 16-row bands (each band's blocks can
+    reach +-halo rows, so bands duplicate rows ~3.5x — inherent to
+    separable per-block warping);
+  - the horizontal then vertical integer shifts are one-hot accumulations
+    over the 2r+1 possible offsets: for each offset, a static slice pair is
+    bilinearly lerped and masked by (block_shift == offset) — XLA fuses the
+    whole chain into one VPU traversal, entirely in f32 (no MXU operand
+    quantization; two earlier designs — per-column banded-matmul segments
+    and per-block batched matmuls — measured 2.8 ms and 3.4 ms against
+    <1 ms for the fused form, and both rounded operands to bf16);
   - OOB transparent-black masking and the t-blend are fused elementwise.
 
-Matches the Pallas kernel / oracle to f32 rounding (the selection matmuls
-sum exactly two weighted taps per output).  Semantics identical: MV in
-pixel units, forward flow, clamp-to-edge taps, uv-outside-[0,1] blanked
-(interpolate.comp:15-22, 34-38).
+Matches the Pallas kernel / oracle to f32 rounding.  Semantics identical:
+MV in pixel units, forward flow, clamp-to-edge taps, uv-outside-[0,1]
+blanked (interpolate.comp:15-22, 34-38).
 """
 
 from __future__ import annotations
@@ -68,14 +70,16 @@ def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
     n_seg = band_rows // g
     assert band_rows % g == 0 and ext.shape[1] % g == 0
     groups = ext.astype(dtype).reshape(c, ext.shape[1] // g, g, we)
+
     bands = jnp.concatenate(
         [groups[:, i:i + n_by] for i in range(n_seg)], axis=2
     )                                                     # [C, n_by, R, We]
 
     # --- horizontal: per-column 2-banded shift matrices.  Output col tile t
-    # (128 wide) reads ext cols [t*128+1, t*128+128+2*halo) — a 256 window.
-    # Instead of materializing overlapping windows, split each window into
-    # its two aligned 128-col segments and run TWO big batched einsums.
+    # (128 wide) reads ext cols [t*128+1, t*128+128+2*halo) — a 256 window,
+    # split into its two aligned 128-col segments -> two big batched
+    # einsums.  (Fused one-hot variants along the LANE axis measured
+    # 13-34 ms — lane-shifted slices defeat XLA fusion — vs 2.8 ms here.)
     sx = jnp.repeat(ix0, g, axis=1)                       # [n_by, W]
     fxc = jnp.repeat(fx, g, axis=1)
     n_tx = w // 128
@@ -88,7 +92,7 @@ def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
     s_full = (jnp.where(d[None, None] == sh, F32(1.0) - fr, F32(0.0))
               + jnp.where(d[None, None] == sh + 1, fr, F32(0.0)))
     s_full = s_full.astype(dtype)                         # [n_tx,n_by,256,128]
-    segs = bands.reshape(c, n_by, band_rows, n_tx + 1, 128).astype(dtype)
+    segs = bands.reshape(c, n_by, band_rows, n_tx + 1, 128)
     hx = (jnp.einsum("cbrtw,tbwj->cbrtj", segs[..., :-1, :],
                      s_full[:, :, :128, :], precision=prec,
                      preferred_element_type=F32)
@@ -97,19 +101,21 @@ def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
                        preferred_element_type=F32))
     hx = hx.reshape(c, n_by, band_rows, w)                # [C, n_by, R, W]
 
-    # --- vertical: one-hot accumulation over the possible integer offsets.
-    # (A batched matmul formulation measured 3.4 ms: 8k tiny [16,64]@[64,64]
-    # instances starve the MXU.  33 fused masked-lerp slices on the VPU are
-    # far cheaper.)
+    # --- vertical: one-hot accumulation over the possible integer offsets,
+    # slicing sublanes (fuses; a batched-matmul vertical measured 3.4 ms —
+    # 8k tiny [16,64]@[64,64] instances starve the MXU).  Runs in the
+    # compute dtype: with centered operands bf16 costs <= 1/2^10 here, and
+    # the f32 variant measured 8 ms slower (fusion degrades).
     iy0c = jnp.repeat(iy0, g, axis=1)[None, :, None, :]   # [1,n_by,1,W]
     fyc = jnp.repeat(fy, g, axis=1)[None, :, None, :].astype(dtype)
     hx = hx.astype(dtype)
+    one = jnp.asarray(1.0, dtype)
     out = jnp.zeros((c, n_by, g, w), F32)
     for delta in range(-max_off, max_off + 1):
         m = (iy0c == delta)
         rows0 = hx[:, :, halo + delta: halo + delta + g, :]
         rows1 = hx[:, :, halo + delta + 1: halo + delta + g + 1, :]
-        lerped = rows0 * (F32(1.0) - fyc).astype(dtype) + rows1 * fyc
+        lerped = rows0 * (one - fyc) + rows1 * fyc
         out = out + jnp.where(m, lerped.astype(F32), F32(0.0))
     return out.reshape(c, h, w)
 
@@ -143,7 +149,7 @@ def warp_blend_matmul(
     if h % g or w % g:
         raise ValueError(f"frame {h}x{w}: H%{g} and W%{g} must be 0")
     if w % 128:
-        # column tiling is 128-wide: edge-pad frames + MV grid, crop after
+        # the segment einsums need 128-col tiling: edge-pad + crop
         wp = round_up(w, 128)
         pw = wp - w
         prev = jnp.pad(prev, ((0, 0), (0, 0), (0, pw)), mode="edge")
@@ -169,9 +175,10 @@ def warp_blend_matmul(
     mdy = jnp.clip(mv[1].astype(F32), -r, r)
 
     def pad(x):
-        # cols padded to exactly (n_tx+1)*128 so windows split into aligned
-        # 128-col segments
-        return jnp.pad(x.astype(F32),
+        # centered around 0: the warp is affine with unit weight sums, so
+        # f(x - 1/2) + 1/2 == f(x) exactly — but bf16's absolute rounding
+        # on [-1/2, 1/2] operands is half that on [0, 1]
+        return jnp.pad(x.astype(F32) - F32(0.5),
                        ((0, 0), (halo, halo), (halo, 128 - halo)),
                        mode="edge")
 
@@ -183,11 +190,8 @@ def warp_blend_matmul(
         return (ix0.astype(jnp.int32), ox - ix0,
                 iy0.astype(jnp.int32), oy - iy0)
 
-    valid_w = _valid_w if _valid_w is not None else w
-
     def oob_mask(scale):
         # shader blanking: sample uv outside [0,1] -> 0 (interpolate.comp:17)
-        # (bounds use the pre-padding width when the frame was widened)
         px = (jnp.arange(w, dtype=F32)[None, :]
               + jnp.repeat(mdx * scale, g, axis=1).repeat(g, axis=0)
               [:h, :w])
@@ -198,14 +202,15 @@ def warp_blend_matmul(
               & (py >= -0.5) & (py <= h - 0.5))
         return ok.astype(F32)[None]
 
+    valid_w = _valid_w if _valid_w is not None else w
     kw = dict(g=g, halo=halo, n_by=n_by, n_bx=n_bx, h=h, w=w,
               dtype=dtype, prec=prec, max_off=r)
     if single:
-        return _warp_one(pad(prev), *offsets(F32(1.0)), **kw)
+        return _warp_one(pad(prev), *offsets(F32(1.0)), **kw) + F32(0.5)
 
     p_ext = pad(prev)
     c_ext = pad(curr)
-    warped_p = _warp_one(p_ext, *offsets(-t), **kw)
-    warped_c = _warp_one(c_ext, *offsets(F32(1.0) - t), **kw)
+    warped_p = _warp_one(p_ext, *offsets(-t), **kw) + F32(0.5)
+    warped_c = _warp_one(c_ext, *offsets(F32(1.0) - t), **kw) + F32(0.5)
     return (warped_p * oob_mask(-t) * (F32(1.0) - t)
             + warped_c * oob_mask(F32(1.0) - t) * t)
