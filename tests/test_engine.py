@@ -118,3 +118,53 @@ class TestStreaming:
         src = SyntheticSource(64, 64, n_frames=100)
         stats = run_stream(cfg, src, NullSink(), max_frames=3, paced=False)
         assert stats.frames_in == 3
+
+
+class TestFpsMultiplier:
+    def test_k4_output_count_and_ordering(self, rng):
+        cfg = _cfg(motion_mode="none", fps_multiplier=4)
+        step = make_interp_step(cfg)
+        a = rng.integers(0, 256, (64, 64, 4), dtype=np.uint8)
+        b = rng.integers(0, 256, (64, 64, 4), dtype=np.uint8)
+        outs = step(jnp.asarray(a), jnp.asarray(b))
+        assert len(outs) == 4  # t=1/4, 2/4, 3/4 + scaled curr
+        # crossfade: earlier t closer to prev
+        pa = np.asarray(outs[0]).astype(np.float64)
+        pc = np.asarray(outs[2]).astype(np.float64)
+        a_up = np.asarray(make_scale_step(cfg)(jnp.asarray(a))).astype(np.float64)
+        assert np.abs(pa - a_up).mean() < np.abs(pc - a_up).mean()
+
+    def test_multiplier_below_two_rejected(self):
+        from tpufg.config import ConfigError
+        with pytest.raises(ConfigError):
+            _cfg(fps_multiplier=1)
+
+
+class TestMotionQuality:
+    def test_pyramid_interp_beats_crossfade(self, rng):
+        # end-to-end: on panning content the motion-compensated midpoint
+        # must reconstruct the true middle frame far better than a blend
+        from tpufg.utils.quality import psnr
+
+        h, w, vx = 128, 128, 6  # even velocity -> exact integer midpoint
+        base = rng.random((h + 64, w + 64, 4)).astype(np.float32)
+        for k in (1, 2):
+            base = (base + np.roll(base, k, 0) + np.roll(base, k, 1)) / 3
+        base = (base * 255).astype(np.uint8)
+
+        def frame(i):
+            return base[32: 32 + h, 32 + vx * i: 32 + vx * i + w]
+
+        cfg_m = _cfg(input_width=w, input_height=h, output_width=w,
+                     output_height=h, motion_mode="pyramid")
+        cfg_x = _cfg(input_width=w, input_height=h, output_width=w,
+                     output_height=h, motion_mode="none")
+        truth = frame(1).astype(np.float64)  # exact middle of frames 0 and 2
+        prev, curr = jnp.asarray(frame(0)), jnp.asarray(frame(2))
+        interp_m = np.asarray(make_interp_step(cfg_m)(prev, curr)[0])
+        prev, curr = jnp.asarray(frame(0)), jnp.asarray(frame(2))
+        interp_x = np.asarray(make_interp_step(cfg_x)(prev, curr)[0])
+        inner = (slice(24, -24), slice(24, -24))
+        p_m = psnr(truth[inner] / 255, interp_m.astype(np.float64)[inner] / 255)
+        p_x = psnr(truth[inner] / 255, interp_x.astype(np.float64)[inner] / 255)
+        assert p_m > p_x + 6, (p_m, p_x)  # >6 dB better than crossfade

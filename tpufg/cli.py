@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default: null)")
     p.add_argument("--frames", type=int, default=None, metavar="N",
                    help="stop after N input frames")
+    p.add_argument("--fps-multiplier", type=int, default=2, metavar="K",
+                   help="emit K-1 in-between frames per input pair "
+                        "(default 2 = fps doubling; 4 = 30->120)")
     p.add_argument("--no-pacing", action="store_true",
                    help="run unpaced (benchmark mode)")
     p.add_argument("--model-path", default=None, metavar="CKPT",
@@ -113,6 +116,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         dtype=args.dtype,
         motion_mode=args.motion_mode,
         overlay=args.overlay,
+        fps_multiplier=args.fps_multiplier,
     )
 
     from tpufg.io.sinks import open_sink
@@ -138,7 +142,8 @@ def main(argv: Optional[list[str]] = None) -> int:
              f"{cfg.output_width}x{cfg.output_height}  fps: {cfg.target_fps}"
              f"  interpolation: {'on' if cfg.enable_interpolation else 'off'}")
 
-    out_fps = cfg.target_fps * (2 if cfg.enable_interpolation else 1)
+    out_fps = cfg.target_fps * (cfg.fps_multiplier
+                                if cfg.enable_interpolation else 1)
     sink = open_sink(args.output, cfg.output_width, cfg.output_height,
                      fps=float(out_fps))
 

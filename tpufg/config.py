@@ -76,6 +76,9 @@ class EngineConfig:
             raise ConfigError(f"unknown motion mode {self.motion_mode!r}")
         if self.block_size <= 0 or self.search_radius < 0:
             raise ConfigError("block_size must be >0 and search_radius >=0")
+        if self.fps_multiplier < 2:
+            raise ConfigError(
+                f"fps multiplier must be >= 2, got {self.fps_multiplier}")
         for name in ("input_width", "input_height", "output_width", "output_height"):
             if getattr(self, name) < 0:
                 raise ConfigError(f"{name} must be >= 0")

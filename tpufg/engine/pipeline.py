@@ -90,12 +90,14 @@ def make_exact_scale_step(cfg: EngineConfig) -> Callable:
 
 def make_interp_step(cfg: EngineConfig, precision: str = "fast",
                      model_params=None) -> Callable:
-    """(prev_u8, curr_u8) -> (interp_scaled_u8, curr_scaled_u8).
+    """(prev_u8, curr_u8) -> (interp_scaled_u8, ..., curr_scaled_u8).
 
-    The fps-doubling streaming step: emits the motion-compensated midpoint
-    (or cfg.interpolation_factor point) and the scaled current frame.
-    ``model_params``: learned-head parameters, required for
-    motion_mode="learned" (config 5).
+    The fps-multiplying streaming step.  With cfg.fps_multiplier == k it
+    emits k-1 motion-compensated in-between frames (t = 1/k .. (k-1)/k,
+    sharing one MV field) plus the scaled current frame; with k == 2 the
+    single in-between point is cfg.interpolation_factor (the reference's
+    blend-factor semantic, main.cpp:25).  ``model_params``: learned-head
+    parameters, required for motion_mode="learned" (config 5).
     """
     out_h, out_w = cfg.output_height, cfg.output_width
     t = cfg.interpolation_factor
@@ -107,6 +109,9 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
     if mode == "learned" and model_params is None:
         raise ValueError("motion_mode='learned' requires model_params "
                          "(--model-path)")
+    k = max(2, int(cfg.fps_multiplier))
+    factors = ([t] if k == 2
+               else [i / float(k) for i in range(1, k)])
 
     if precision == "exact":
         # donate prev: the caller drops it after this step (ring hygiene)
@@ -118,10 +123,14 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
                 mv = None
             else:  # oracle path always uses the full exhaustive search
                 mv = -oracle.motion_search(p, c, b, r)  # negate: bug #12
-            interp = oracle.warp_blend(p, c, mv, t)
-            out0 = oracle.lanczos_scale(interp, out_h, out_w, a)
-            out1 = oracle.lanczos_scale(c, out_h, out_w, a)
-            return (oracle.quantize_unorm8(out0), oracle.quantize_unorm8(out1))
+            outs = []
+            for tf in factors:
+                interp = oracle.warp_blend(p, c, mv, tf)
+                outs.append(oracle.quantize_unorm8(
+                    oracle.lanczos_scale(interp, out_h, out_w, a)))
+            outs.append(oracle.quantize_unorm8(
+                oracle.lanczos_scale(c, out_h, out_w, a)))
+            return tuple(outs)
 
         return step
 
@@ -132,16 +141,22 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
         p = frames_to_planar(prev_u8, F32)
         c = frames_to_planar(curr_u8, F32)
         _, h, w = p.shape
+        interps = []
         if mode == "none":
-            interp = (p.astype(F32) * F32(1.0 - t)
-                      + c.astype(F32) * F32(t))
+            for tf in factors:
+                interps.append(p.astype(F32) * F32(1.0 - tf)
+                               + c.astype(F32) * F32(tf))
         elif mode == "learned":
-            # config 5: RIFE-style head predicts the in-between frame
+            # config 5: RIFE-style head predicts the in-between frames
+            # (gather-free inference path)
             from tpufg.models import rife
-            hp, wp = round_up(h, 4), round_up(w, 4)
-            pp = _edge_pad_chw(p.astype(F32), hp, wp)[None]
-            cp = _edge_pad_chw(c.astype(F32), hp, wp)[None]
-            interp = rife.forward(model_params, pp, cp, t)[0, :, :h, :w]
+            hp, wp = round_up(h, 16), round_up(w, 16)
+            pp = _edge_pad_chw(p.astype(F32), hp, wp)
+            cp = _edge_pad_chw(c.astype(F32), hp, wp)
+            for tf in factors:
+                interps.append(
+                    rife.interpolate_fast(model_params, pp, cp, tf)
+                    [:, :h, :w])
         else:
             # pad to the motion/warp lattice (pyramid needs grid*2^(L-1))
             mult = MV_GRID * 2 ** (PYR_LEVELS - 1)
@@ -159,11 +174,16 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
                 mv_px = motion_search_tiled(pp, cp, block_size=b,
                                             search_radius=r, exact_box=False)
                 mv = mv_px[:, MV_GRID // 2::MV_GRID, MV_GRID // 2::MV_GRID]
-            warped = warp_blend_matmul(pp, cp, -mv, factor=t, block=MV_GRID,
-                                       search_radius=max(r, 8), dtype=dt)
-            interp = warped[:, :h, :w]
-        out0 = lanczos_scale_fast(interp, out_h, out_w, a, compute_dtype=dt)
-        out1 = lanczos_scale_fast(c, out_h, out_w, a, compute_dtype=dt)
-        return planar_to_frames(out0), planar_to_frames(out1)
+            for tf in factors:  # one MV field shared by all time points
+                warped = warp_blend_matmul(pp, cp, -mv, factor=tf,
+                                           block=MV_GRID,
+                                           search_radius=max(r, 8), dtype=dt)
+                interps.append(warped[:, :h, :w])
+        outs = [planar_to_frames(lanczos_scale_fast(x, out_h, out_w, a,
+                                                    compute_dtype=dt))
+                for x in interps]
+        outs.append(planar_to_frames(
+            lanczos_scale_fast(c, out_h, out_w, a, compute_dtype=dt)))
+        return tuple(outs)
 
     return step

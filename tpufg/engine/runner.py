@@ -103,8 +103,7 @@ class StreamingEngine:
                 break
             t0 = time.perf_counter()
             if cfg.enable_interpolation and prev_dev is not None:
-                out_i, out_c = self._step2(prev_dev, dev)
-                outs = [out_i, out_c]
+                outs = list(self._step2(prev_dev, dev))
             else:
                 outs = [self._step1(dev)]
             # one-slot pipeline: write last frame's results while this

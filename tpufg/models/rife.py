@@ -104,12 +104,8 @@ def bilinear_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
     return top * (1 - fy) + bot * fy
 
 
-def forward(params: dict, prev: jax.Array, curr: jax.Array,
-            t: float = 0.5) -> jax.Array:
-    """Predict the frame at time t between prev and curr.
-
-    ``prev``/``curr``: planar [B, 4, H, W] in [0,1]; H, W divisible by 4.
-    """
+def _trunk(params: dict, prev: jax.Array, curr: jax.Array):
+    """Conv trunk: frame pair -> (flow_p, flow_c, mask) at full resolution."""
     x = jnp.concatenate([prev, curr], axis=1).astype(F32)
     h1 = jax.nn.relu(_conv(x, params["enc1"]["w"], params["enc1"]["b"], 2))
     h2 = jax.nn.relu(_conv(h1, params["enc2"]["w"], params["enc2"]["b"], 2))
@@ -119,16 +115,54 @@ def forward(params: dict, prev: jax.Array, curr: jax.Array,
     # upsample flow/mask to full res; flow values scale with resolution
     b, _, hq, wq = out.shape
     full = jax.image.resize(out, (b, 5, hq * SCALE, wq * SCALE), "bilinear")
-    flow_p = full[:, 0:2] * F32(SCALE)
-    flow_c = full[:, 2:4] * F32(SCALE)
-    mask = jax.nn.sigmoid(full[:, 4:5])
-    warped_p = bilinear_warp(prev.astype(F32), flow_p)
-    warped_c = bilinear_warp(curr.astype(F32), flow_c)
+    return (full[:, 0:2] * F32(SCALE), full[:, 2:4] * F32(SCALE),
+            jax.nn.sigmoid(full[:, 4:5]))
+
+
+def _fuse(warped_p, warped_c, mask, t):
     tt = F32(t)
     # occlusion-weighted fusion biased by temporal position
     w_p = mask * (F32(1.0) - tt)
     w_c = (F32(1.0) - mask) * tt
     return (warped_p * w_p + warped_c * w_c) / (w_p + w_c + F32(1e-6))
+
+
+def forward(params: dict, prev: jax.Array, curr: jax.Array,
+            t: float = 0.5) -> jax.Array:
+    """Predict the frame at time t between prev and curr (training path).
+
+    ``prev``/``curr``: planar [B, 4, H, W] in [0,1]; H, W divisible by 4.
+    Uses the differentiable per-pixel gather warp — correct gradients, but
+    XLA gather is slow at scale (6.6 s/frame at 4K); inference uses
+    :func:`interpolate_fast`.
+    """
+    flow_p, flow_c, mask = _trunk(params, prev, curr)
+    warped_p = bilinear_warp(prev.astype(F32), flow_p)
+    warped_c = bilinear_warp(curr.astype(F32), flow_c)
+    return _fuse(warped_p, warped_c, mask, t)
+
+
+def interpolate_fast(params: dict, prev: jax.Array, curr: jax.Array,
+                     t: float = 0.5, grid: int = 16,
+                     max_flow: int = 32, dtype=jnp.bfloat16) -> jax.Array:
+    """Inference path: predicted flow block-subsampled through the
+    production one-hot warp (tpufg.kernels.warp_matmul) — no gathers.
+
+    ``prev``/``curr``: planar [C, H, W] (no batch); H, W divisible by
+    ``grid``.  RIFE-style flow is smooth at the 1/4-res prediction scale,
+    so the 16-px block quantization costs little; the learned occlusion
+    mask stays per-pixel.
+    """
+    from tpufg.kernels.warp_matmul import warp_blend_matmul
+
+    flow_p, flow_c, mask = _trunk(params, prev[None], curr[None])
+    fp = flow_p[0][:, grid // 2::grid, grid // 2::grid]
+    fc = flow_c[0][:, grid // 2::grid, grid // 2::grid]
+    warped_p = warp_blend_matmul(prev, prev, fp, single=True, block=grid,
+                                 search_radius=max_flow, dtype=dtype)
+    warped_c = warp_blend_matmul(curr, curr, fc, single=True, block=grid,
+                                 search_radius=max_flow, dtype=dtype)
+    return _fuse(warped_p, warped_c, mask[0], t)
 
 
 def load_params(path: str) -> dict:
