@@ -179,6 +179,8 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
                                            block=MV_GRID,
                                            search_radius=max(r, 8), dtype=dt)
                 interps.append(warped[:, :h, :w])
+        # separate scale calls per output (a stacked-channel single call
+        # measured ~1.3 ms slower: the concat materializes both frames)
         outs = [planar_to_frames(lanczos_scale_fast(x, out_h, out_w, a,
                                                     compute_dtype=dt))
                 for x in interps]

@@ -102,13 +102,16 @@ class StreamingEngine:
             if max_frames is not None and i >= max_frames:
                 break
             t0 = time.perf_counter()
-            if cfg.enable_interpolation and prev_dev is not None:
-                outs = list(self._step2(prev_dev, dev))
-            else:
-                outs = [self._step1(dev)]
+            from tpufg.utils.tracing import annotate
+            with annotate("tpufg.step"):
+                if cfg.enable_interpolation and prev_dev is not None:
+                    outs = list(self._step2(prev_dev, dev))
+                else:
+                    outs = [self._step1(dev)]
             # one-slot pipeline: write last frame's results while this
             # frame's step executes asynchronously on-device
-            flush_pending()
+            with annotate("tpufg.readback"):
+                flush_pending()
             pending.extend(outs)
             prev_dev = dev
             stats.frames_in += 1
