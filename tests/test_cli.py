@@ -83,3 +83,11 @@ class TestEndToEnd:
         assert rc == 0
         # height completed to 64 by aspect (main.cpp:82-85)
         assert out.stat().st_size == 2 * 128 * 64 * 4
+
+
+class TestValidateCLI:
+    def test_crossfade_passes_gate(self):
+        from tpufg.validate import main as vmain
+        rc = vmain(["synthetic:64x64", "--frames", "1",
+                    "--motion-mode", "none", "--dtype", "f32"])
+        assert rc == 0

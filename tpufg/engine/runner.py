@@ -79,24 +79,33 @@ class StreamingEngine:
         prev_dev = None
         pending = []  # device arrays whose host copy we delay one frame
 
+        needs_host = getattr(sink, "needs_host", True)
+
         def flush_pending():
             for arr in pending:
-                if cfg.overlay:
+                if not needs_host:
+                    # e.g. NullSink benchmarking: frames stay on-device
+                    sink.write(arr)
+                elif cfg.overlay:
                     from tpufg.engine.overlay import draw_stats
                     # np.array: device readback is read-only; force a copy
-                    host = draw_stats(
+                    sink.write(draw_stats(
                         np.array(arr), self._fps_win.fps,
                         (cfg.input_width, cfg.input_height),
-                        (cfg.output_width, cfg.output_height))
+                        (cfg.output_width, cfg.output_height)))
                 else:
-                    host = np.asarray(arr)
-                sink.write(host)
+                    sink.write(np.asarray(arr))
                 stats.frames_out += 1
             pending.clear()
 
         from tpufg.engine.ring import DeviceIngestRing
 
-        next_deadline = time.perf_counter()
+        t_start = time.perf_counter()
+        next_deadline = t_start
+        clock = None
+        if paced and frame_period > 0:
+            from tpufg.io.native import NativeClock
+            clock = NativeClock(float(cfg.target_fps))
         ring = DeviceIngestRing(source, depth=max(1, cfg.ring_slots - 1))
         for i, dev in enumerate(ring):
             if max_frames is not None and i >= max_frames:
@@ -116,8 +125,14 @@ class StreamingEngine:
             prev_dev = dev
             stats.frames_in += 1
 
-            jax.block_until_ready(outs[-1])
-            self._lat.record(time.perf_counter() - t0)
+            # paced (real-time) mode syncs every frame — the deadline is
+            # per frame; throughput mode samples the sync so the async
+            # pipeline stays full.  warmup (compile) frames are excluded
+            # from the latency distribution.
+            if paced or stats.frames_in % 8 == 3:  # sampled sync, skips warmup
+                jax.block_until_ready(outs[-1])
+                if stats.frames_in > 2:
+                    self._lat.record(time.perf_counter() - t0)
             self._fps_win.tick()
 
             if stats.frames_in % 60 == 0:
@@ -125,15 +140,21 @@ class StreamingEngine:
                 self.log.info(
                     f"Processing frame {stats.frames_in}, fps: "
                     f"{self._fps_win.fps:.1f}")
-            if paced and frame_period > 0:
-                next_deadline += frame_period
-                sleep = next_deadline - time.perf_counter()
-                if sleep > 0:
-                    time.sleep(sleep)
-            else:
-                next_deadline = time.perf_counter()
+            if clock is not None:
+                # drift-free absolute-deadline pacing (native
+                # clock_nanosleep when the C library is available)
+                late = clock.pace()
+                if late > 0.1:
+                    self.log.warning(
+                        f"frame {stats.frames_in} late by {late * 1e3:.1f} ms")
         flush_pending()
-        stats.fps = self._fps_win.fps
+        if clock is not None:
+            clock.close()
+        wall = time.perf_counter() - t_start
+        # wall-average input fps (the 60-sample window drives the periodic
+        # log, mirroring the reference; the sliding estimate is noisy at
+        # end of stream)
+        stats.fps = stats.frames_in / wall if wall > 0 else 0.0
         stats.latency = self._lat.summary()
         return stats
 

@@ -18,6 +18,10 @@ import numpy as np
 
 
 class FrameSink:
+    #: sinks that serialize frames need them on the host; NullSink doesn't,
+    #: letting the engine skip the device->host readback entirely
+    needs_host = True
+
     def write(self, frame: np.ndarray) -> None:
         raise NotImplementedError
 
@@ -32,6 +36,8 @@ class FrameSink:
 
 
 class NullSink(FrameSink):
+    needs_host = False
+
     def __init__(self):
         self.count = 0
 
