@@ -162,7 +162,13 @@ def warp_blend_matmul(
     n_by, n_bx = h // g, w // g
     if mv.shape != (2, n_by, n_bx):
         raise ValueError(f"mv shape {mv.shape} != (2, {n_by}, {n_bx})")
-    halo = round_up(r + 2, 8)
+    # per-frame offsets are bounded by r*max(t, 1-t) in blend mode (each
+    # frame warps only a fraction of the MV), r in single mode — the halo,
+    # band height and one-hot range shrink accordingly (t=0.5 halves them)
+    import math
+    eff_r = r if single else max(1, int(math.ceil(
+        r * max(float(factor), 1.0 - float(factor)))))
+    halo = round_up(eff_r + 2, 8)
     while (2 * halo) % g:   # band construction needs g | 2*halo
         halo += 8
     if halo > 63:
@@ -204,7 +210,7 @@ def warp_blend_matmul(
 
     valid_w = _valid_w if _valid_w is not None else w
     kw = dict(g=g, halo=halo, n_by=n_by, n_bx=n_bx, h=h, w=w,
-              dtype=dtype, prec=prec, max_off=r)
+              dtype=dtype, prec=prec, max_off=eff_r)
     if single:
         return _warp_one(pad(prev), *offsets(F32(1.0)), **kw) + F32(0.5)
 
