@@ -88,9 +88,11 @@ def pyramid_motion_search(
     # coarsest level: exhaustive small-radius search (per-pixel kernel,
     # separable box — production mode), subsampled to the block grid
     p0, q0 = pyr[-1]
+    # 64-row tiles win at coarse-level sizes (measured 1.8 vs 4.2 ms at
+    # 272x480: less edge-tile padding waste, more VMEM headroom)
     mv_px = motion_search_tiled(
         p0, q0, block_size=block_size, search_radius=base_radius,
-        exact_box=False, interpret=interpret,
+        exact_box=False, interpret=interpret, tile_h=64, tile_w=256,
     )
     mv = _block_subsample(mv_px, grid)
 
