@@ -92,42 +92,55 @@ def _motion_kernel(prev_ref, curr_ref, out_ref, prev_s, curr_s, sem,
                 win,
             ))
 
-        def dx_body(dx_idx, st):
-            best_cost, best_dx, best_dy = st
-            dxf = (dx_idx - r).astype(F32)
-            # columns shift via dynamic lane roll (no dynamic lane slicing
-            # on TPU): rolled[:, j] = shifted[:, j + dx_idx]
-            d = curr_c[0] - pltpu.roll(shifted[0], -dx_idx, 1)[:, 0:ext]
-            acc = d * d
-            for c in range(1, n_ch):
-                d = curr_c[c] - pltpu.roll(shifted[c], -dx_idx, 1)[:, 0:ext]
-                acc = acc + d * d
-            dist = jnp.sqrt(acc) * mask
-            if exact_box:
-                # 8x8 box-sum in the shader's exact y-outer/x-inner order
-                # (motion.comp:33-34) -> f32-bitwise cost parity
-                cost = dist[0:TH, 0:TW]
-                for ky in range(b):
-                    for kx in range(b):
-                        if ky == 0 and kx == 0:
-                            cost = dist[0:TH, 0:TW]
-                        else:
-                            cost = cost + dist[ky:ky + TH, kx:kx + TW]
-            else:
-                # separable box-sum: same value to rounding, 2b adds
-                colsum = dist[0:ext_r, 0:TW]
-                for kx in range(1, b):
-                    colsum = colsum + dist[0:ext_r, kx:kx + TW]
-                cost = colsum[0:TH, :]
-                for ky in range(1, b):
-                    cost = cost + colsum[ky:ky + TH, :]
-            upd = cost < best_cost  # strict <: first found wins
-            best_cost = jnp.where(upd, cost, best_cost)
-            best_dx = jnp.where(upd, dxf, best_dx)
-            best_dy = jnp.where(upd, dyf, best_dy)
-            return best_cost, best_dx, best_dy
+        # dx iterated in chunks: one dynamic lane roll per CHUNK (rolls
+        # lower to multi-stage lane rotates — the dominant per-candidate
+        # cost), static column slices resolve the within-chunk offset.
+        # chunk size 3 divides 2r+1 for integer r.
+        # (exact mode and large tiles keep chunk=1: Mosaic does not reuse
+        # unrolled temporaries, and 3 unrolled candidates at 256^2 tiles
+        # measured 17.8 MB of scoped VMEM vs the 16 MB limit)
+        n_dx = 2 * r + 1
+        chunk = (3 if (not exact_box and n_dx % 3 == 0
+                       and TH * TW <= 128 * 128) else 1)
 
-        return jax.lax.fori_loop(0, 2 * r + 1, dx_body, state)
+        def dx_chunk_body(ch_idx, st):
+            rolled = [pltpu.roll(shifted[c], -(ch_idx * chunk), 1)
+                      for c in range(n_ch)]
+            for k in range(chunk):
+                best_cost, best_dx, best_dy = st
+                dxf = (ch_idx * chunk + k - r).astype(F32)
+                d = curr_c[0] - rolled[0][:, k:k + ext]
+                acc = d * d
+                for c in range(1, n_ch):
+                    d = curr_c[c] - rolled[c][:, k:k + ext]
+                    acc = acc + d * d
+                dist = jnp.sqrt(acc) * mask
+                if exact_box:
+                    # 8x8 box-sum in the shader's exact y-outer/x-inner
+                    # order (motion.comp:33-34) -> f32-bitwise cost parity
+                    cost = dist[0:TH, 0:TW]
+                    for ky in range(b):
+                        for kx in range(b):
+                            if ky == 0 and kx == 0:
+                                cost = dist[0:TH, 0:TW]
+                            else:
+                                cost = cost + dist[ky:ky + TH, kx:kx + TW]
+                else:
+                    # separable box-sum: same value to rounding, 2b adds
+                    colsum = dist[0:ext_r, 0:TW]
+                    for kx in range(1, b):
+                        colsum = colsum + dist[0:ext_r, kx:kx + TW]
+                    cost = colsum[0:TH, :]
+                    for ky in range(1, b):
+                        cost = cost + colsum[ky:ky + TH, :]
+                upd = cost < best_cost  # strict <: first found wins
+                best_cost = jnp.where(upd, cost, best_cost)
+                best_dx = jnp.where(upd, dxf, best_dx)
+                best_dy = jnp.where(upd, dyf, best_dy)
+                st = (best_cost, best_dx, best_dy)
+            return st
+
+        return jax.lax.fori_loop(0, n_dx // chunk, dx_chunk_body, state)
 
     init = (
         jnp.full((TH, TW), 1e10, F32),   # motion.comp:25
