@@ -169,3 +169,31 @@ class TestMotionQuality:
         p_m = psnr(truth[inner] / 255, interp_m.astype(np.float64)[inner] / 255)
         p_x = psnr(truth[inner] / 255, interp_x.astype(np.float64)[inner] / 255)
         assert p_m > p_x + 6, (p_m, p_x)  # >6 dB better than crossfade
+
+
+class TestResume:
+    def test_start_frame_resumes(self):
+        # segment outputs stitch: full run == run[0:] + resumed run minus
+        # its re-emitted first frame
+        cfg = _cfg(motion_mode="none")
+
+        class CollectSink:
+            needs_host = True
+
+            def __init__(self):
+                self.frames = []
+
+            def write(self, f):
+                self.frames.append(np.asarray(f).copy())
+
+        full = CollectSink()
+        run_stream(cfg, SyntheticSource(64, 64, n_frames=6), full,
+                   paced=False)
+        resumed = CollectSink()
+        run_stream(cfg, SyntheticSource(64, 64, n_frames=6), resumed,
+                   paced=False, start_frame=3)
+        # full emits 1 + 5*2 = 11; resumed emits 1 + 2*2 = 5
+        assert len(full.frames) == 11 and len(resumed.frames) == 5
+        # resumed[1:] must equal the tail of the full run
+        for a, b in zip(resumed.frames[1:], full.frames[-4:]):
+            np.testing.assert_array_equal(a, b)

@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default: null)")
     p.add_argument("--frames", type=int, default=None, metavar="N",
                    help="stop after N input frames")
+    p.add_argument("--start-frame", type=int, default=0, metavar="N",
+                   help="skip the first N input frames (resume an offline "
+                        "transcode)")
     p.add_argument("--fps-multiplier", type=int, default=2, metavar="K",
                    help="emit K-1 in-between frames per input pair "
                         "(default 2 = fps doubling; 4 = 30->120)")
@@ -166,7 +169,8 @@ def main(argv: Optional[list[str]] = None) -> int:
             stats = run_stream(cfg, source, sink, precision=args.precision,
                                max_frames=args.frames,
                                paced=not args.no_pacing,
-                               model_params=model_params)
+                               model_params=model_params,
+                               start_frame=args.start_frame)
     except KeyboardInterrupt:
         log.info("Interrupted, cleaning up...")
         return 130

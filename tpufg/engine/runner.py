@@ -72,9 +72,23 @@ class StreamingEngine:
         self._lat = LatencyRecorder()
 
     def run(self, source: FrameSource, sink: FrameSink,
-            max_frames: Optional[int] = None, paced: bool = True) -> StreamStats:
+            max_frames: Optional[int] = None, paced: bool = True,
+            start_frame: int = 0) -> StreamStats:
+        """``start_frame``: skip that many source frames first (resumable
+        offline transcode — the reference has no resumable state at all,
+        SURVEY.md §5.4).  The stream restarts at that frame: its scaled
+        frame is re-emitted (so concatenating segment outputs, drop each
+        segment's first frame after the first segment)."""
         cfg = self.cfg
         stats = StreamStats()
+        if start_frame > 0:
+            it = iter(source)
+            for _ in range(start_frame):
+                try:
+                    next(it)
+                except StopIteration:
+                    break
+            source = it
         frame_period = 1.0 / cfg.target_fps if cfg.target_fps > 0 else 0.0
         prev_dev = None
         pending = []  # device arrays whose host copy we delay one frame
@@ -161,6 +175,7 @@ class StreamingEngine:
 
 def run_stream(cfg: EngineConfig, source: FrameSource, sink: FrameSink,
                precision: str = "fast", max_frames: Optional[int] = None,
-               paced: bool = True, model_params=None) -> StreamStats:
+               paced: bool = True, model_params=None,
+               start_frame: int = 0) -> StreamStats:
     return StreamingEngine(cfg, precision, model_params).run(
-        source, sink, max_frames, paced)
+        source, sink, max_frames, paced, start_frame)

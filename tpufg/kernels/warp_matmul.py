@@ -30,25 +30,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from tpufg.kernels.common import cdiv, round_up
+from tpufg.kernels.common import round_up
 
 F32 = jnp.float32
-
-
-def _band_matrices(shift, frac, n_in, n_out, offset):
-    """2-banded selection matrices from integer shifts + fractions.
-
-    shift: [...] int32, frac: [...] f32 with one entry per output element
-    group; returns S [..., n_in, n_out] with S[..., i, j] = (1-frac) where
-    i == j + offset + shift, frac where i == j + offset + shift + 1.
-    """
-    ii = jax.lax.broadcasted_iota(jnp.int32, (n_in, n_out), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (n_in, n_out), 1)
-    d = ii - jj - offset
-    sh = shift[..., None, None]
-    fr = frac[..., None, None]
-    return (jnp.where(d == sh, F32(1.0) - fr, F32(0.0))
-            + jnp.where(d == sh + 1, fr, F32(0.0)))
 
 
 def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
