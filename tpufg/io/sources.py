@@ -233,7 +233,9 @@ class SyntheticSource(FrameSource):
     """Procedural moving-pattern frames for bench and demos.
 
     Patterns: "pan" (textured field translating at a constant pixel
-    velocity — the friendliest case for block matching), "noise", "gradient".
+    velocity — the friendliest case for block matching), "panmix" (velocity
+    resampled every few frames — training data for the learned head),
+    "noise", "gradient".
     """
 
     def __init__(self, width: int, height: int, n_frames: int = 300,
@@ -244,12 +246,13 @@ class SyntheticSource(FrameSource):
         self._pattern = pattern
         self._vel = velocity
         self._fps = fps
-        rng = np.random.default_rng(seed)
+        self._rng = np.random.default_rng(seed)
+        rng = self._rng
         pad = 256
-        if pattern in ("pan", "noise"):
+        if pattern in ("pan", "panmix", "noise"):
             tex = rng.integers(0, 256, (height + pad, width + pad, 4),
                                dtype=np.uint8)
-            if pattern == "pan":
+            if pattern in ("pan", "panmix"):
                 t = tex.astype(np.float32)
                 for k in (1, 2, 4):
                     t = (t + np.roll(t, k, 0) + np.roll(t, k, 1)) / 3
@@ -271,10 +274,18 @@ class SyntheticSource(FrameSource):
 
     def __iter__(self):
         vx, vy = self._vel
+        ox_f = oy_f = 0.0
         for i in range(self._n):
             if self._tex is not None:
-                ox = int(round(vx * i)) % 256
-                oy = int(round(vy * i)) % 256
+                if self._pattern == "panmix" and i % 4 == 0:
+                    # new linear motion every 4 frames (keeps triplets
+                    # coherent while varying velocity across the stream)
+                    vx = float(self._rng.uniform(-6, 6))
+                    vy = float(self._rng.uniform(-6, 6))
+                ox_f = (ox_f + vx) if i else 0.0
+                oy_f = (oy_f + vy) if i else 0.0
+                ox = int(round(ox_f)) % 256
+                oy = int(round(oy_f)) % 256
                 yield np.ascontiguousarray(
                     self._tex[oy:oy + self._h, ox:ox + self._w])
             else:
