@@ -42,7 +42,6 @@ shapes, no data-dependent control flow).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

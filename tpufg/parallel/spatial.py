@@ -21,7 +21,6 @@ shards edge-replicate, exactly like the single-chip frame border.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax
@@ -29,7 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tpufg.kernels.common import round_up
 from tpufg.kernels.convert import frames_to_planar, planar_to_frames
 from tpufg.kernels.lanczos import lanczos_scale_fast
 from tpufg.kernels.warp import warp_blend_block
