@@ -137,6 +137,9 @@ def _scale_kernel(row_start_ref, col_start_ref, img_ref, by_ref, bx_ref,
     # hi+lo halves (2 MXU passes, f32 accumulate — Mosaic has no
     # Precision.HIGH); weights stay bf16, their rounding is a fixed
     # sub-1e-3 filter perturbation on centered data.
+    # (a single-pass centered bf16 variant measured the same speed — the
+    # kernel is DMA-bound, the extra MXU pass is hidden — and fails the
+    # SSIM gate on noise content; the split stays)
     if compute_dtype == jnp.bfloat16 and span_ref.dtype == jnp.float32:
         def split_dot(a_f32, b_bf16, swap=False):
             hi = a_f32.astype(jnp.bfloat16)
