@@ -72,7 +72,8 @@ def _axis_plan(in_size: int, out_size: int, a: int, tile_out: int, lane: int):
     """Banded weight blocks + per-tile span starts for one axis.
 
     Returns (starts [n_tiles] int32, bands [n_tiles, span, tile_out] f32 np,
-    span, n_tiles, padded_in).  ``bands[t] @`` an input span reproduces the
+    span, n_tiles, padded_in, pad_left).  ``bands[t] @`` an input span
+    reproduces the
     oracle's per-axis weighted tap sum with per-axis normalization (exactly
     the joint normalization, since tap validity is per-axis independent).
 
@@ -81,8 +82,6 @@ def _axis_plan(in_size: int, out_size: int, a: int, tile_out: int, lane: int):
     the span is widened to absorb the alignment slack.
     """
     n_tiles = cdiv(out_size, tile_out)
-    out_pad = n_tiles * tile_out
-    in_pad = round_up(in_size, lane)
 
     # per-output-pixel taps, same math as the oracle (numpy mirror)
     coords, deltas, valid = _np_axis_taps(in_size, out_size, a)
@@ -93,44 +92,82 @@ def _axis_plan(in_size: int, out_size: int, a: int, tile_out: int, lane: int):
 
     # span: widest input window any tile needs
     span_needed = 0
-    starts = np.zeros((n_tiles,), np.int32)
+    wants = np.zeros((n_tiles,), np.int64)
     for t in range(n_tiles):
         lo = t * tile_out
         hi = min(out_size, lo + tile_out)
         first = int(coords[lo, 0])
         last = int(coords[hi - 1, 2 * a - 1])
+        wants[t] = first
         span_needed = max(span_needed, last - first + 1)
-    span = min(round_up(span_needed + 2 + lane, lane), in_pad)
 
+    # Mosaic needs slice starts divisible by `lane`.  If the desired tile
+    # starts are all congruent mod lane (uniform phase — any integer or
+    # lane-commensurate ratio), shift the whole image with a left pad so
+    # they land exactly on lane boundaries; otherwise align down and eat up
+    # to lane-1 columns of slack in the span.
+    rems = {int(x % lane) for x in wants}
+    pad_left = (lane - next(iter(rems))) % lane if len(rems) == 1 else 0
+    slack = 0 if len(rems) == 1 else lane
+    in_pad = round_up(in_size + pad_left, lane)
+    span = min(round_up(span_needed + 2 + slack, lane), in_pad)
+
+    starts = np.zeros((n_tiles,), np.int32)
     bands = np.zeros((n_tiles, span, tile_out), np.float32)
     for t in range(n_tiles):
         lo = t * tile_out
         hi = min(out_size, lo + tile_out)
-        start = max(0, min(int(coords[lo, 0]), in_pad - span))
+        start = max(0, min(int(wants[t]) + pad_left, in_pad - span))
         start = (start // lane) * lane  # alignment for Mosaic HBM slicing
         starts[t] = start
         for j in range(lo, hi):
             for k in range(2 * a):
                 c = int(coords[j, k])
                 if 0 <= c < in_size and w[j, k] != 0.0:
-                    bands[t, c - start, j - lo] += w[j, k]
-    return starts, bands, span, n_tiles, in_pad
+                    bands[t, c + pad_left - start, j - lo] += w[j, k]
+    return starts, bands, span, n_tiles, in_pad, pad_left
 
 
 def _scale_kernel(row_start_ref, col_start_ref, img_ref, by_ref, bx_ref,
-                  out_ref, span_ref, sem, *, span_y, span_x, compute_dtype):
+                  out_ref, span_ref, sem, *, span_y, span_x, compute_dtype,
+                  n_c, n_ty, n_tx):
     c = pl.program_id(0)
     ty = pl.program_id(1)
     tx = pl.program_id(2)
-    rs = pl.multiple_of(row_start_ref[ty], 8)
-    cs = pl.multiple_of(col_start_ref[tx], 128)
-    dma = pltpu.make_async_copy(
-        img_ref.at[c, pl.ds(rs, span_y), pl.ds(cs, span_x)],
-        span_ref,
-        sem,
-    )
-    dma.start()
-    dma.wait()
+
+    # double-buffered span DMA: start the NEXT grid step's load while
+    # computing this one's (the kernel is DMA-bound; scratch and
+    # semaphores persist across grid steps)
+    def start_dma(ci, tyi, txi, slot):
+        rs = pl.multiple_of(row_start_ref[tyi], 8)
+        cs = pl.multiple_of(col_start_ref[txi], 128)
+        pltpu.make_async_copy(
+            img_ref.at[ci, pl.ds(rs, span_y), pl.ds(cs, span_x)],
+            span_ref.at[slot], sem.at[slot],
+        ).start()
+
+    lin = (c * n_ty + ty) * n_tx + tx
+    slot = jax.lax.rem(lin, 2)
+    n_total = n_c * n_ty * n_tx
+
+    @pl.when(lin == 0)
+    def _():
+        start_dma(c, ty, tx, slot)
+
+    @pl.when(lin + 1 < n_total)
+    def _():
+        nxt = lin + 1
+        ntx = jax.lax.rem(nxt, n_tx)
+        nty = jax.lax.rem(nxt // n_tx, n_ty)
+        nc = nxt // (n_tx * n_ty)
+        start_dma(nc, nty, ntx, 1 - slot)
+
+    pltpu.make_async_copy(
+        img_ref.at[c, pl.ds(pl.multiple_of(row_start_ref[ty], 8), span_y),
+                   pl.ds(pl.multiple_of(col_start_ref[tx], 128), span_x)],
+        span_ref.at[slot], sem.at[slot],
+    ).wait()
+    span_ref = span_ref.at[slot]
     # image operands must keep >= 8-bit-code precision: a single-pass bf16
     # matmul costs +-1/2 uint8 code and fails the 0.999-SSIM gate.  With
     # f32 storage and bf16 compute, each pass splits the image into bf16
@@ -190,8 +227,10 @@ def lanczos_scale_fast(
 
     t_ox = min(tile_out, round_up(out_w, 128))
     t_oy = min(tile_out, round_up(out_h, 8))
-    col_starts, bx, span_x, n_tx, in_wp = _axis_plan(in_w, out_w, a, t_ox, 128)
-    row_starts, by_t, span_y, n_ty, in_hp = _axis_plan(in_h, out_h, a, t_oy, 8)
+    col_starts, bx, span_x, n_tx, in_wp, pad_l = _axis_plan(
+        in_w, out_w, a, t_ox, 128)
+    row_starts, by_t, span_y, n_ty, in_hp, pad_t = _axis_plan(
+        in_h, out_h, a, t_oy, 8)
     # vertical band is used as [T_oy, S_y]: transpose of the axis plan layout
     by = np.transpose(by_t, (0, 2, 1)).copy()
 
@@ -201,14 +240,15 @@ def lanczos_scale_fast(
     band_dtype = jnp.bfloat16 if center else dtype
     if center:
         img = img - jnp.asarray(0.5, dtype)
-    img_p = jnp.pad(img, ((0, 0), (0, in_hp - in_h), (0, in_wp - in_w)))
+    img_p = jnp.pad(img, ((0, 0), (pad_t, in_hp - in_h - pad_t),
+                          (pad_l, in_wp - in_w - pad_l)))
     out_hp, out_wp = n_ty * t_oy, n_tx * t_ox
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(c, n_ty, n_tx),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),           # img (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),           # img (HBM)
             pl.BlockSpec(                                    # by block
                 (1, t_oy, span_y),
                 lambda ci, ty, tx, *_: (ty, 0, 0),
@@ -223,13 +263,13 @@ def lanczos_scale_fast(
             lambda ci, ty, tx, *_: (ci, ty, tx),
         ),
         scratch_shapes=[
-            pltpu.VMEM((span_y, span_x), dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, span_y, span_x), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
         _scale_kernel, span_y=span_y, span_x=span_x,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, n_c=c, n_ty=n_ty, n_tx=n_tx,
     )
     out = pl.pallas_call(
         kernel,

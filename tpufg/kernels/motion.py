@@ -216,8 +216,8 @@ def motion_search_tiled(
         kernel,
         grid=(n_ty, n_tx),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((2, TH, TW), lambda ty, tx: (0, ty, tx)),
         out_shape=jax.ShapeDtypeStruct((2, n_ty * TH, n_tx * TW), F32),

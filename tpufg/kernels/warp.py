@@ -216,8 +216,8 @@ def warp_blend_block(
         grid=(n_ty, n_tx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((n_ch, TH, TW), lambda ty, tx: (0, ty, tx)),
         out_shape=jax.ShapeDtypeStruct((n_ch, n_ty * TH, n_tx * TW), F32),
