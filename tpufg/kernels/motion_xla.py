@@ -73,3 +73,81 @@ def motion_search_xla(
             best_dx = jnp.where(upd, F32(dx), best_dx)
             best_dy = jnp.where(upd, F32(dy), best_dy)
     return jnp.stack([best_dx, best_dy])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid", "block_size", "search_radius"))
+def motion_search_lattice(
+    prev: jax.Array,
+    curr: jax.Array,
+    grid: int = 16,
+    block_size: int = 8,
+    search_radius: int = 4,
+) -> jax.Array:
+    """Block-lattice exhaustive search: MVs only at block centers.
+
+    The pyramid consumes one MV per ``grid x grid`` cell
+    (models/pyramid.py), so computing the per-pixel field and subsampling
+    wastes grid^2 = 256x the argmin work.  This evaluates candidates only
+    at the lattice centers (grid*i + grid/2, grid*j + grid/2).
+
+    When ``search_radius + block_size/2 <= grid/2`` every candidate's
+    prev-frame block window stays inside the SAME grid cell as the curr
+    block, so after one [C, Hb, g, Wb, g] reshape each candidate is a pair
+    of static strided slices — no shifted image copies at all (the
+    reference's ~70k reads/px become ~(b+2r)^2 reads per cell).
+
+    Same conventions as motion_search_tiled(exact_box=False): Euclidean
+    per-pixel distance, separable col-then-row block sum in the same f32
+    accumulation order, strict-< argmin over the dy-outer/dx-inner scan —
+    output is bitwise the subsampled tiled-kernel field.  Block windows at
+    these centers never leave the image (blockStart = g/2 - b/2 >= 0), so
+    the validity mask and clamp-to-edge halo never engage.
+
+    ``prev``/``curr``: planar [C, H, W] with H, W divisible by ``grid``.
+    Returns f32 [2, H/grid, W/grid] (plane 0 = dx, plane 1 = dy).
+    """
+    n_ch, h, w = prev.shape
+    g = int(grid)
+    b = int(block_size)
+    r = int(search_radius)
+    off = (g - b) // 2  # block start within its cell
+    if h % g or w % g:
+        raise ValueError(f"frame {h}x{w} not divisible by grid {g}")
+    if off - r < 0 or off + b + r > g:
+        raise ValueError(
+            f"radius {r} leaves the grid cell (need r + b/2 <= g/2); "
+            "use motion_search_tiled")
+    hb, wb = h // g, w // g
+
+    # [C, Hb, g, Wb, g]: one layout pass each, then only static slices
+    prev_cells = prev.astype(F32).reshape(n_ch, hb, g, wb, g)
+    curr_blk = curr.astype(F32).reshape(n_ch, hb, g, wb, g)[
+        :, :, off:off + b, :, off:off + b]
+
+    best_cost = jnp.full((hb, wb), 1e10, F32)
+    best_dx = jnp.zeros((hb, wb), F32)
+    best_dy = jnp.zeros((hb, wb), F32)
+    for dy in range(-r, r + 1):          # dy outer — motion.comp:27
+        for dx in range(-r, r + 1):      # dx inner — motion.comp:28
+            shifted = prev_cells[:, :, off + dy:off + dy + b,
+                                 :, off + dx:off + dx + b]
+            d = curr_blk[0] - shifted[0]
+            acc = d * d
+            for ci in range(1, n_ch):
+                d = curr_blk[ci] - shifted[ci]
+                acc = acc + d * d
+            dist = jnp.sqrt(acc)                      # [Hb, b, Wb, b]
+            # separable box-sum, col-then-row, sequential adds: bitwise
+            # the tiled kernel's exact_box=False accumulation order
+            colsum = dist[..., 0]
+            for kx in range(1, b):
+                colsum = colsum + dist[..., kx]       # [Hb, b, Wb]
+            cost = colsum[:, 0, :]
+            for ky in range(1, b):
+                cost = cost + colsum[:, ky, :]        # [Hb, Wb]
+            upd = cost < best_cost       # strict <: first found wins
+            best_cost = jnp.where(upd, cost, best_cost)
+            best_dx = jnp.where(upd, F32(dx), best_dx)
+            best_dy = jnp.where(upd, F32(dy), best_dy)
+    return jnp.stack([best_dx, best_dy])

@@ -30,9 +30,16 @@ import jax
 import jax.numpy as jnp
 
 from tpufg.kernels.motion import motion_search_tiled
+from tpufg.kernels.motion_xla import motion_search_lattice
 from tpufg.kernels.warp_matmul import warp_blend_matmul
 
 F32 = jnp.float32
+
+
+def _lattice_ok(radius: int, block: int, grid: int) -> bool:
+    """Lattice fast path applies when candidate windows stay in-cell."""
+    off = (grid - block) // 2
+    return off - radius >= 0 and off + block + radius <= grid
 
 
 def _downsample2(x: jax.Array) -> jax.Array:
@@ -85,16 +92,24 @@ def pyramid_motion_search(
         p, q = pyr[-1]
         pyr.append((_downsample2(p), _downsample2(q)))
 
-    # coarsest level: exhaustive small-radius search (per-pixel kernel,
-    # separable box — production mode), subsampled to the block grid
+    # coarsest level: exhaustive small-radius search subsampled to the
+    # block grid.  The lattice path evaluates candidates only at the grid
+    # centers the pyramid consumes (256x less argmin work than the
+    # per-pixel kernel, bitwise the same field); the per-pixel tiled
+    # kernel is the fallback for radii whose windows leave the grid cell.
     p0, q0 = pyr[-1]
-    # 64-row tiles win at coarse-level sizes (measured 1.8 vs 4.2 ms at
-    # 272x480: less edge-tile padding waste, more VMEM headroom)
-    mv_px = motion_search_tiled(
-        p0, q0, block_size=block_size, search_radius=base_radius,
-        exact_box=False, interpret=interpret, tile_h=64, tile_w=256,
-    )
-    mv = _block_subsample(mv_px, grid)
+    if _lattice_ok(base_radius, block_size, grid):
+        mv = motion_search_lattice(
+            p0, q0, grid=grid, block_size=block_size,
+            search_radius=base_radius)
+    else:
+        # 64-row tiles win at coarse-level sizes (measured 1.8 vs 4.2 ms
+        # at 272x480: less edge-tile padding waste, more VMEM headroom)
+        mv_px = motion_search_tiled(
+            p0, q0, block_size=block_size, search_radius=base_radius,
+            exact_box=False, interpret=interpret, tile_h=64, tile_w=256,
+        )
+        mv = _block_subsample(mv_px, grid)
 
     for lvl in range(levels - 2, -1, -1):
         p_l, q_l = pyr[lvl]
@@ -109,9 +124,16 @@ def pyramid_motion_search(
             p_l, p_l, mv, block=grid, search_radius=max(int(max_disp), 1),
             single=True,
         )
-        res_px = motion_search_tiled(
-            warped, q_l, block_size=block_size, search_radius=refine_radius,
-            exact_box=False, interpret=interpret,
-        )
-        mv = mv + _block_subsample(res_px, grid)
+        if _lattice_ok(refine_radius, block_size, grid):
+            res = motion_search_lattice(
+                warped, q_l, grid=grid, block_size=block_size,
+                search_radius=refine_radius)
+        else:
+            res_px = motion_search_tiled(
+                warped, q_l, block_size=block_size,
+                search_radius=refine_radius, exact_box=False,
+                interpret=interpret,
+            )
+            res = _block_subsample(res_px, grid)
+        mv = mv + res
     return mv
