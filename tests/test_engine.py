@@ -45,6 +45,24 @@ class TestScaleStep:
         assert ssim(np.clip(ref, 0, 1), out) >= 0.999
 
 
+class TestIdentitySize:
+    def test_scale_step_equal_size_is_exact_identity(self, rng):
+        # in == out: Lanczos taps are one-hot (sin(pi*k) = 0), the pipeline
+        # skips the kernel, and the uint8 round-trip is exact
+        cfg = _cfg(output_width=64, output_height=64)
+        frame = rng.integers(0, 256, (64, 64, 4), dtype=np.uint8)
+        out = np.asarray(make_scale_step(cfg)(jnp.asarray(frame)))
+        np.testing.assert_array_equal(out, frame)
+
+    def test_interp_step_equal_size_curr_passthrough(self, rng):
+        cfg = _cfg(output_width=64, output_height=64, motion_mode="none")
+        prev = rng.integers(0, 256, (64, 64, 4), dtype=np.uint8)
+        curr = rng.integers(0, 256, (64, 64, 4), dtype=np.uint8)
+        outs = make_interp_step(cfg)(jnp.asarray(prev), jnp.asarray(curr))
+        # last output is the scaled current frame == curr exactly
+        np.testing.assert_array_equal(np.asarray(outs[-1]), curr)
+
+
 class TestInterpStep:
     def test_crossfade_mode(self, rng):
         # config 2: fixed blend, no motion

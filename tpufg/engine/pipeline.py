@@ -68,7 +68,14 @@ def make_scale_step(cfg: EngineConfig) -> Callable:
         # storage/elementwise stay f32 (bf16 storage costs ~1 uint8 code);
         # dt only selects the MXU operand precision
         planar = frames_to_planar(frame_u8, F32)
-        scaled = lanczos_scale_fast(planar, out_h, out_w, a, compute_dtype=dt)
+        if (out_h, out_w) == planar.shape[1:]:
+            # identity resample: integer-offset taps give the center tap
+            # weight exactly 1 and the rest exactly 0 (sin(pi*k) = 0), so
+            # Lanczos at equal size is the identity — skip the kernel
+            scaled = planar
+        else:
+            scaled = lanczos_scale_fast(planar, out_h, out_w, a,
+                                        compute_dtype=dt)
         return planar_to_frames(scaled)
 
     return step
@@ -181,11 +188,15 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
                 interps.append(warped[:, :h, :w])
         # separate scale calls per output (a stacked-channel single call
         # measured ~1.3 ms slower: the concat materializes both frames)
-        outs = [planar_to_frames(lanczos_scale_fast(x, out_h, out_w, a,
-                                                    compute_dtype=dt))
-                for x in interps]
-        outs.append(planar_to_frames(
-            lanczos_scale_fast(c, out_h, out_w, a, compute_dtype=dt)))
+        if (out_h, out_w) == (h, w):
+            # identity resample (see make_scale_step): skip the kernel —
+            # the 4K->4K fps-doubling config spends ~3 ms/pair here
+            scale = lambda x: x
+        else:
+            scale = lambda x: lanczos_scale_fast(x, out_h, out_w, a,
+                                                 compute_dtype=dt)
+        outs = [planar_to_frames(scale(x)) for x in interps]
+        outs.append(planar_to_frames(scale(c)))
         return tuple(outs)
 
     return step
