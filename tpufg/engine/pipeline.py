@@ -56,11 +56,6 @@ def make_scale_step(cfg: EngineConfig) -> Callable:
     """uint8 [H, W, 4] -> scaled uint8 [outH, outW, 4]  (config 1 path)."""
     out_h, out_w = cfg.output_height, cfg.output_width
     a = cfg.lanczos_a
-    exact = cfg.dtype == "f32" and cfg.motion_mode == "none"  # unused marker
-
-    if cfg.dtype == "exact":  # pragma: no cover - handled by precision arg
-        raise ValueError("use precision parameter")
-
     dt = _dtype(cfg)
 
     @jax.jit
@@ -95,6 +90,62 @@ def make_exact_scale_step(cfg: EngineConfig) -> Callable:
     return step
 
 
+def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
+                  search_radius: int, model_params=None,
+                  interpret: bool | None = None,
+                  skip_finest_refine: int = 1) -> list:
+    """The production interpolation core, shared by the single-chip step and
+    the multi-chip sharded step (tpufg.parallel.spatial) so multi-chip runs
+    the SAME math per shard.
+
+    ``p``/``c``: planar f32 [C, h, w] frames (any h/w; padded internally to
+    the motion/warp lattice and cropped back).  Returns one [C, h, w]
+    interpolated frame per blend factor in ``factors``.
+    """
+    _, h, w = p.shape
+    interps = []
+    if mode == "none":
+        for tf in factors:
+            interps.append(p.astype(F32) * F32(1.0 - tf)
+                           + c.astype(F32) * F32(tf))
+        return interps
+    if mode == "learned":
+        # config 5: RIFE-style head predicts the in-between frames
+        # (gather-free inference path)
+        from tpufg.models import rife
+        hp, wp = round_up(h, 16), round_up(w, 16)
+        pp = _edge_pad_chw(p.astype(F32), hp, wp)
+        cp = _edge_pad_chw(c.astype(F32), hp, wp)
+        for tf in factors:
+            interps.append(
+                rife.interpolate_fast(model_params, pp, cp, tf)[:, :h, :w])
+        return interps
+    # pad to the motion/warp lattice (pyramid needs grid*2^(L-1))
+    mult = MV_GRID * 2 ** (PYR_LEVELS - 1)
+    hp, wp = round_up(h, mult), round_up(w, mult)
+    pp = _edge_pad_chw(p.astype(F32), hp, wp)
+    cp = _edge_pad_chw(c.astype(F32), hp, wp)
+    if mode == "pyramid":
+        # latency mode (skip_finest_refine=1): skip the full-res residual
+        # refine (the single most expensive stage; MV lattice effectively 2x)
+        mv = pyramid_motion_search(
+            pp, cp, levels=PYR_LEVELS, base_radius=4,
+            refine_radius=2, block_size=block_size, grid=MV_GRID,
+            skip_finest_refine=skip_finest_refine, interpret=interpret)
+    else:  # exhaustive parity kernel, subsampled to the MV lattice
+        mv_px = motion_search_tiled(pp, cp, block_size=block_size,
+                                    search_radius=search_radius,
+                                    exact_box=False, interpret=interpret)
+        mv = mv_px[:, MV_GRID // 2::MV_GRID, MV_GRID // 2::MV_GRID]
+    for tf in factors:  # one MV field shared by all time points
+        warped = warp_blend_matmul(pp, cp, -mv, factor=tf,
+                                   block=MV_GRID,
+                                   search_radius=max(search_radius, 8),
+                                   dtype=dt)
+        interps.append(warped[:, :h, :w])
+    return interps
+
+
 def make_interp_step(cfg: EngineConfig, precision: str = "fast",
                      model_params=None) -> Callable:
     """(prev_u8, curr_u8) -> (interp_scaled_u8, ..., curr_scaled_u8).
@@ -120,9 +171,17 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
     factors = ([t] if k == 2
                else [i / float(k) for i in range(1, k)])
 
+    # Donating prev only pays when an output buffer can actually alias it:
+    # the equal-size fps-multiply config (uint8 [H,W,4] in and out).  For
+    # scaling configs no output matches the input shape and XLA would just
+    # warn "Some donated buffers were not usable" every run.
+    donate = ((out_h, out_w) == (cfg.input_height, cfg.input_width)
+              and cfg.input_height > 0)
+    jit_step = (functools.partial(jax.jit, donate_argnums=(0,)) if donate
+                else jax.jit)
+
     if precision == "exact":
-        # donate prev: the caller drops it after this step (ring hygiene)
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        @jit_step
         def step(prev_u8, curr_u8):
             p = oracle.dequantize_unorm8(prev_u8)
             c = oracle.dequantize_unorm8(curr_u8)
@@ -141,51 +200,15 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
 
         return step
 
-    # donate prev: after this step the streaming loop only keeps curr
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @jit_step
     def step(prev_u8, curr_u8):
         # f32 storage end to end; dt picks matmul operand precision only
         p = frames_to_planar(prev_u8, F32)
         c = frames_to_planar(curr_u8, F32)
         _, h, w = p.shape
-        interps = []
-        if mode == "none":
-            for tf in factors:
-                interps.append(p.astype(F32) * F32(1.0 - tf)
-                               + c.astype(F32) * F32(tf))
-        elif mode == "learned":
-            # config 5: RIFE-style head predicts the in-between frames
-            # (gather-free inference path)
-            from tpufg.models import rife
-            hp, wp = round_up(h, 16), round_up(w, 16)
-            pp = _edge_pad_chw(p.astype(F32), hp, wp)
-            cp = _edge_pad_chw(c.astype(F32), hp, wp)
-            for tf in factors:
-                interps.append(
-                    rife.interpolate_fast(model_params, pp, cp, tf)
-                    [:, :h, :w])
-        else:
-            # pad to the motion/warp lattice (pyramid needs grid*2^(L-1))
-            mult = MV_GRID * 2 ** (PYR_LEVELS - 1)
-            hp, wp = round_up(h, mult), round_up(w, mult)
-            pp = _edge_pad_chw(p.astype(F32), hp, wp)
-            cp = _edge_pad_chw(c.astype(F32), hp, wp)
-            if mode == "pyramid":
-                # latency mode: skip the full-res residual refine (the
-                # single most expensive stage; MV lattice effectively 2x)
-                mv = pyramid_motion_search(
-                    pp, cp, levels=PYR_LEVELS, base_radius=4,
-                    refine_radius=2, block_size=b, grid=MV_GRID,
-                    skip_finest_refine=1)
-            else:  # exhaustive parity kernel, subsampled to the MV lattice
-                mv_px = motion_search_tiled(pp, cp, block_size=b,
-                                            search_radius=r, exact_box=False)
-                mv = mv_px[:, MV_GRID // 2::MV_GRID, MV_GRID // 2::MV_GRID]
-            for tf in factors:  # one MV field shared by all time points
-                warped = warp_blend_matmul(pp, cp, -mv, factor=tf,
-                                           block=MV_GRID,
-                                           search_radius=max(r, 8), dtype=dt)
-                interps.append(warped[:, :h, :w])
+        interps = interp_planar(p, c, mode=mode, factors=factors, dt=dt,
+                                block_size=b, search_radius=r,
+                                model_params=model_params)
         # separate scale calls per output (a stacked-channel single call
         # measured ~1.3 ms slower: the concat materializes both frames)
         if (out_h, out_w) == (h, w):

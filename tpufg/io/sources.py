@@ -131,10 +131,21 @@ class StdinSource(FrameSource):
     def __iter__(self):
         fb = self._w * self._h * 4
         while True:
-            buf = self._stream.read(fb)
-            if not buf or len(buf) < fb:
-                return
-            frame = np.frombuffer(buf, np.uint8).reshape(self._h, self._w, 4)
+            # A RawIOBase pipe may return short reads mid-stream; only a
+            # zero-byte read means EOF.  Accumulate until a full frame.
+            buf = bytearray()
+            while len(buf) < fb:
+                chunk = self._stream.read(fb - len(buf))
+                if not chunk:
+                    if buf:
+                        from tpufg.utils.logging import get_logger
+                        get_logger().warning(
+                            f"stdin: dropping trailing partial frame "
+                            f"({len(buf)}/{fb} bytes)")
+                    return
+                buf += chunk
+            frame = np.frombuffer(bytes(buf), np.uint8).reshape(
+                self._h, self._w, 4)
             yield _to_rgba(frame, self._order)
 
 

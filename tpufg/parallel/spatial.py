@@ -14,9 +14,10 @@ math across chips the idiomatic way:
 - **dp (data/frame)**: independent frame pairs (offline transcode) shard
   trivially over a leading batch axis.
 
-Boundary semantics: interior shard edges see real neighbor rows (results
-bitwise-match the single-chip run away from frame edges); the outermost
-shards edge-replicate, exactly like the single-chip frame border.
+Boundary semantics: interior shard edges see real neighbor rows — results
+match the single-chip run away from frame edges (bitwise for MVs and the
+scaled-current path; <= 1 uint8 code at < 1e-4 of pixels for the warped
+path, see make_sharded_interp_step); the outermost shards edge-replicate.
 """
 
 from __future__ import annotations
@@ -28,10 +29,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from tpufg.config import ConfigError, EngineConfig
 from tpufg.kernels.convert import frames_to_planar, planar_to_frames
 from tpufg.kernels.lanczos import lanczos_scale_fast
-from tpufg.kernels.warp import warp_blend_block
-from tpufg.models.pyramid import pyramid_motion_search
 
 F32 = jnp.float32
 
@@ -73,67 +73,102 @@ def halo_exchange_rows(x: jax.Array, axis_name: str, halo: int,
 
 def make_sharded_interp_step(
     mesh: Mesh,
-    in_h: int,
-    in_w: int,
-    out_h: int,
-    out_w: int,
-    factor: float = 0.5,
+    cfg: EngineConfig,
     interpret: bool | None = None,
 ) -> Callable:
-    """Jit'd multi-chip fps-doubling step.
+    """Jit'd multi-chip fps-multiplying step — the PRODUCTION pipeline math
+    (tpufg.engine.pipeline.interp_planar: pyramid with skip_finest_refine=1,
+    warp_blend_matmul at the configured compute dtype, the configured
+    fps_multiplier / interpolation_factor / kernel constants), run per
+    spatial shard with explicit ICI halo exchange.
 
     Input: uint8 [B, H, W, 4] frame pairs (prev, curr), B sharded over dp,
-    rows over sp.  Returns (interp_scaled, curr_scaled) uint8
-    [B, out_h, out_w, 4] with the same sharding.
+    rows over sp.  Returns cfg.fps_multiplier outputs, each uint8
+    [B, out_h, out_w, 4]: k-1 interpolated frames then the scaled current
+    frame (same output tuple as make_interp_step).
 
-    H must divide evenly across sp shards with 64-row lattice alignment.
+    Correctness contract (tested in tests/test_parallel.py): away from the
+    frame's outer edges the per-shard MV fields are bitwise-identical to the
+    single-chip run, the f32 scaled-current output is bitwise-identical to
+    make_interp_step, and the remaining outputs (warped path; everything in
+    bf16) match to within one uint8 code at < 1e-4 of pixels — XLA
+    fuses/tiles the chain differently for the two shapes, so isolated sums
+    land 1 ulp apart and flip a rounding at exact .5 quantization
+    boundaries.  At the frame's outer edges the halo
+    is edge-replicated, which differs from the single-chip border handling
+    (skip-and-renormalize Lanczos taps, clamped search windows) by design —
+    a fixed-width frame-border effect, not a shard-seam effect.
+
+    H must be divisible by sp*64 (the pyramid's shard lattice); use
+    ``pad_to_shard_lattice`` for arbitrary heights.
     """
+    cfg.validate()
+    in_h, in_w = cfg.input_height, cfg.input_width
+    out_h, out_w = cfg.output_height, cfg.output_width
+    mode = cfg.motion_mode
+    if mode == "learned":
+        raise ConfigError(
+            "sharded step does not support motion_mode='learned' "
+            "(the conv head needs its own halo plan); use dp-only training "
+            "shardings in tpufg.models.rife")
+    t = cfg.interpolation_factor
+    k = max(2, int(cfg.fps_multiplier))
+    factors = [t] if k == 2 else [i / float(k) for i in range(1, k)]
+    dt = jnp.bfloat16 if cfg.dtype == "bf16" else jnp.float32
+
     sp = mesh.shape["sp"]
     if in_h % (sp * HALO):
-        raise ValueError(
-            f"input height {in_h} must be divisible by sp*{HALO} = {sp * HALO}")
-    if out_h % sp or out_w % 1:
-        raise ValueError("output height must divide over sp")
-    shard_h = in_h // sp
+        raise ConfigError(
+            f"input height {in_h} must be divisible by sp*{HALO} = "
+            f"{sp * HALO} (pad_to_shard_lattice handles arbitrary heights)")
     # the scaled halo rows to crop from each shard's scaled output
-    scale = out_h / in_h
-    halo_out = int(HALO * scale)
-    if abs(halo_out - HALO * scale) > 1e-9:
-        raise ValueError(
-            f"scale {scale} must map the {HALO}-row halo to whole output rows")
+    if (HALO * out_h) % in_h or (in_h // sp * out_h) % in_h:
+        raise ConfigError(
+            f"scale {out_h}/{in_h} must map the {HALO}-row halo and the "
+            f"{in_h // sp}-row shard to whole output rows")
+    halo_out = HALO * out_h // in_h
+    out_hs = (in_h // sp) * out_h // in_h  # output rows per shard
+    identity = (out_h, out_w) == (in_h, in_w)
 
     from jax.experimental.shard_map import shard_map
 
-    def shard_fn(prev_rows, curr_rows):
-        # [1, Hs, W, 4] per-shard uint8 (dp handled by the outer vmap-like
-        # sharding; shard_map gives us the block)
-        p = frames_to_planar(prev_rows[0], F32)
-        c = frames_to_planar(curr_rows[0], F32)
+    from tpufg.engine.pipeline import interp_planar
+
+    def pair_fn(prev_u8, curr_u8):
+        # [Hs, W, 4] per-shard uint8 -> k outputs [out_hs, out_w, 4]
+        p = frames_to_planar(prev_u8, F32)
+        c = frames_to_planar(curr_u8, F32)
         p_ext = halo_exchange_rows(p, "sp", HALO)
         c_ext = halo_exchange_rows(c, "sp", HALO)
-        mv = pyramid_motion_search(p_ext, c_ext, interpret=interpret)
-        warped = warp_blend_block(p_ext, c_ext, -mv, factor=factor,
-                                  interpret=interpret)
-        interp = warped[:, HALO:-HALO, :]
-        out_i = lanczos_scale_fast(
-            warped, out_h // sp + 2 * halo_out, out_w,
-            interpret=interpret)[:, halo_out:-halo_out, :]
-        c_full = c_ext
-        out_c = lanczos_scale_fast(
-            c_full, out_h // sp + 2 * halo_out, out_w,
-            interpret=interpret)[:, halo_out:-halo_out, :]
-        del interp
-        return (planar_to_frames(out_i)[None], planar_to_frames(out_c)[None])
+        interps = interp_planar(
+            p_ext, c_ext, mode=mode, factors=factors, dt=dt,
+            block_size=cfg.block_size, search_radius=cfg.search_radius,
+            interpret=interpret)
+        if identity:
+            scale = lambda x: x
+        else:
+            scale = lambda x: lanczos_scale_fast(
+                x, out_hs + 2 * halo_out, out_w, cfg.lanczos_a,
+                compute_dtype=dt, interpret=interpret)
+        # scale WITH the halo present (interior Lanczos taps see real
+        # neighbor rows), then crop the scaled halo
+        outs = [planar_to_frames(scale(x)[:, halo_out:-halo_out, :])
+                for x in interps]
+        outs.append(planar_to_frames(scale(c_ext)[:, halo_out:-halo_out, :]))
+        return tuple(outs)
 
+    shard_fn = jax.vmap(pair_fn)  # local batch axis (dp block)
+
+    specs = P("dp", "sp", None, None)
     smapped = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P("dp", "sp", None, None), P("dp", "sp", None, None)),
-        out_specs=(P("dp", "sp", None, None), P("dp", "sp", None, None)),
+        in_specs=(specs, specs),
+        out_specs=(specs,) * k,
         check_rep=False,
     )
 
-    in_sharding = NamedSharding(mesh, P("dp", "sp", None, None))
+    in_sharding = NamedSharding(mesh, specs)
 
     @jax.jit
     def step(prev_b, curr_b):
@@ -142,3 +177,10 @@ def make_sharded_interp_step(
         return smapped(prev_b, curr_b)
 
     return step
+
+
+def pad_to_shard_lattice(h: int, sp: int) -> int:
+    """Smallest height >= h divisible by sp*HALO (frames edge-padded to
+    this before sharding; outputs cropped back)."""
+    lat = sp * HALO
+    return ((h + lat - 1) // lat) * lat

@@ -25,9 +25,15 @@ def save_pytree(path: str, tree: Any) -> None:
 
 
 def load_pytree(path: str, like: Any) -> Any:
-    """Restore into the structure of ``like`` (shape/dtype-checked)."""
+    """Restore into the structure of ``like`` (structure/shape/dtype-checked)."""
     data = np.load(path)
     leaves, treedef = jax.tree_util.tree_flatten(like)
+    if "__treedef__" in data:
+        saved_td = json.loads(bytes(data["__treedef__"]).decode())
+        if saved_td != str(treedef):
+            raise ValueError(
+                f"{path}: checkpoint structure mismatch:\n"
+                f"  saved:    {saved_td}\n  expected: {treedef}")
     restored = []
     for i, ref in enumerate(leaves):
         key = f"leaf_{i}"
@@ -37,5 +43,9 @@ def load_pytree(path: str, like: Any) -> Any:
         if tuple(arr.shape) != tuple(np.shape(ref)):
             raise ValueError(
                 f"{path}: {key} shape {arr.shape} != expected {np.shape(ref)}")
+        ref_dtype = np.dtype(getattr(ref, "dtype", np.asarray(ref).dtype))
+        if arr.dtype != ref_dtype:
+            raise ValueError(
+                f"{path}: {key} dtype {arr.dtype} != expected {ref_dtype}")
         restored.append(arr)
     return jax.tree_util.tree_unflatten(treedef, restored)
