@@ -4,7 +4,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from tpufg.parallel.spatial import (HALO, halo_exchange_rows,
@@ -30,7 +30,7 @@ class TestHaloExchange:
         f = shard_map(
             lambda s: halo_exchange_rows(s, "sp", 2),
             mesh=mesh, in_specs=P(None, "sp", None),
-            out_specs=P(None, "sp", None), check_rep=False,
+            out_specs=P(None, "sp", None), check_vma=False,
         )
         out = np.asarray(jax.jit(f)(x))  # [1, 4*(8+4), 8]
         blocks = out.reshape(1, 4, h_per + 4, 8)
@@ -153,3 +153,45 @@ class TestMeshFactory:
     def test_bad_dp_rejected(self, devices):
         with pytest.raises(ValueError):
             make_spatial_mesh(8, dp=3)
+
+
+class TestShardedCLI:
+    """--devices N exposes the sharded transcode from the CLI (the
+    multi-chip path is the same product, reachable the same way)."""
+
+    def _run(self, tmp_path, extra, h=256, frames=5):
+        from tpufg.cli import main
+        out = tmp_path / ("out_" + "_".join(extra).replace("-", "") + ".raw")
+        rc = main([f"synthetic:128x{h}", "--frames", str(frames),
+                   "--output-width", "256", "--no-pacing",
+                   "--output", str(out), *extra])
+        assert rc == 0
+        return np.fromfile(out, np.uint8)
+
+    def test_matches_single_chip_stream(self, devices, tmp_path):
+        single = self._run(tmp_path, [])
+        sharded = self._run(tmp_path, ["--devices", "8", "--dp", "2"])
+        assert single.size == sharded.size  # same frame count: 1 + 4*2
+        out_h, out_w = 512, 256
+        fb = out_h * out_w * 4
+        n = single.size // fb
+        s1 = single.reshape(n, out_h, out_w, 4).astype(int)
+        s8 = sharded.reshape(n, out_h, out_w, 4).astype(int)
+        # interior rows (frame-border halo effects excluded, see
+        # make_sharded_interp_step contract): <= 1 uint8 code
+        d = np.abs(s1[:, 192:-192] - s8[:, 192:-192])
+        assert d.max() <= 1
+        assert (d > 0).mean() < 1e-4
+
+    def test_nonlattice_height_padded(self, devices, tmp_path):
+        # 200 rows -> padded to sp*64=512... (sp=4) and cropped back
+        data = self._run(tmp_path, ["--devices", "8", "--dp", "2"],
+                         h=200, frames=4)
+        fb = 400 * 256 * 4
+        assert data.size == fb * (1 + 3 * 2)
+
+    def test_too_many_devices_rejected(self, devices, tmp_path):
+        from tpufg.cli import main
+        rc = main(["synthetic:128x256", "--devices", "999",
+                   "--output-width", "256", "--no-pacing"])
+        assert rc == 1

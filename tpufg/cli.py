@@ -66,6 +66,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default 2 = fps doubling; 4 = 30->120)")
     p.add_argument("--no-pacing", action="store_true",
                    help="run unpaced (benchmark mode)")
+    p.add_argument("--devices", type=int, default=0, metavar="N",
+                   help="multi-chip offline transcode over N devices "
+                        "(frame rows sharded with ICI halo exchange; "
+                        "default: single-chip streaming)")
+    p.add_argument("--dp", type=int, default=1, metavar="D",
+                   help="with --devices: batch D consecutive frame pairs "
+                        "over a data-parallel mesh axis (N/D spatial "
+                        "shards each)")
     p.add_argument("--model-path", default=None, metavar="CKPT",
                    help="learned-head checkpoint (.npz) for "
                         "--motion-mode learned")
@@ -166,14 +174,30 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     try:
         with trace_session(args.trace), debug_checks(args.debug_checks):
-            stats = run_stream(cfg, source, sink, precision=args.precision,
-                               max_frames=args.frames,
-                               paced=not args.no_pacing,
-                               model_params=model_params,
-                               start_frame=args.start_frame)
+            if args.devices > 1:
+                from tpufg.engine.runner import run_sharded_stream
+                if args.precision == "exact":
+                    log.error("--devices requires --precision fast "
+                              "(the oracle path is single-chip)")
+                    return 1
+                if not args.no_pacing:
+                    log.info("multi-chip transcode is offline: pacing off")
+                stats = run_sharded_stream(
+                    cfg, source, sink, devices=args.devices, dp=args.dp,
+                    max_frames=args.frames, start_frame=args.start_frame)
+            else:
+                stats = run_stream(cfg, source, sink,
+                                   precision=args.precision,
+                                   max_frames=args.frames,
+                                   paced=not args.no_pacing,
+                                   model_params=model_params,
+                                   start_frame=args.start_frame)
     except KeyboardInterrupt:
         log.info("Interrupted, cleaning up...")
         return 130
+    except (ConfigError, ValueError) as e:
+        log.error(str(e))
+        return 1
     finally:
         source.close()
         sink.close()

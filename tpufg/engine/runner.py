@@ -179,3 +179,103 @@ def run_stream(cfg: EngineConfig, source: FrameSource, sink: FrameSink,
                start_frame: int = 0) -> StreamStats:
     return StreamingEngine(cfg, precision, model_params).run(
         source, sink, max_frames, paced, start_frame)
+
+
+def run_sharded_stream(cfg: EngineConfig, source: FrameSource,
+                       sink: FrameSink, devices: int, dp: int = 1,
+                       max_frames: Optional[int] = None,
+                       start_frame: int = 0) -> StreamStats:
+    """Multi-chip offline transcode (SURVEY.md §2.4 DP/TP rows).
+
+    Shards each frame's rows over the mesh's ``sp`` axis (ICI halo
+    exchange) and batches ``dp`` consecutive frame pairs over ``dp`` —
+    the production pipeline math per shard (make_sharded_interp_step).
+    Unpaced by design: this is the offline path; the real-time engine is
+    single-chip.  Frame heights are edge-padded to the sp*64 shard lattice
+    and outputs cropped back.
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tpufg.config import ConfigError
+    from tpufg.parallel.spatial import (make_sharded_interp_step,
+                                        make_spatial_mesh,
+                                        pad_to_shard_lattice)
+
+    cfg.validate()
+    log = get_logger()
+    mesh = make_spatial_mesh(devices, dp=dp)
+    sp = mesh.shape["sp"]
+    in_h, in_w = cfg.input_height, cfg.input_width
+    out_h = cfg.output_height
+    h_pad = pad_to_shard_lattice(in_h, sp)
+    if (h_pad * out_h) % in_h:
+        raise ConfigError(
+            f"sharded transcode: padded height {h_pad} must map to whole "
+            f"output rows at scale {out_h}/{in_h}")
+    out_h_pad = h_pad * out_h // in_h
+    pcfg = dataclasses.replace(cfg, input_height=h_pad,
+                               output_height=out_h_pad)
+    step = make_sharded_interp_step(mesh, pcfg)
+    scale0 = make_scale_step(cfg)  # very first frame: scale-only
+    log.info(f"sharded transcode on mesh dp={dp} sp={sp} "
+             f"({devices} devices), rows {in_h}->{h_pad} padded")
+
+    stats = StreamStats()
+    t_start = time.perf_counter()
+    it = iter(source)
+    for _ in range(start_frame):
+        try:
+            next(it)
+        except StopIteration:
+            break
+
+    def pad_rows(f: np.ndarray) -> np.ndarray:
+        if h_pad == in_h:
+            return f
+        return np.pad(f, ((0, h_pad - in_h), (0, 0), (0, 0)), mode="edge")
+
+    def emit(arr: np.ndarray) -> None:
+        sink.write(arr)
+        stats.frames_out += 1
+
+    def flush(batch: list) -> None:
+        n = len(batch)
+        if not n:
+            return
+        full = batch + [batch[-1]] * (dp - n)  # pad ragged tail batch
+        pb = jnp.asarray(np.stack([pad_rows(p) for p, _ in full]))
+        cb = jnp.asarray(np.stack([pad_rows(c) for _, c in full]))
+        outs = step(pb, cb)
+        outs_np = [np.asarray(o[:, :out_h]) for o in outs]
+        for d in range(n):  # emit in stream order; drop tail padding
+            for o in outs_np:
+                emit(o[d])
+
+    prev = None
+    batch: list = []
+    for frame in it:
+        if max_frames is not None and stats.frames_in >= max_frames:
+            break
+        frame = np.ascontiguousarray(frame)
+        stats.frames_in += 1
+        if not cfg.enable_interpolation:
+            # scale-only transcode: no cross-frame dependence to shard
+            emit(np.asarray(scale0(jnp.asarray(frame))))
+            continue
+        if prev is None:
+            # stream start: no pair yet, emit the scaled first frame
+            # (mirrors the single-chip engine's first iteration)
+            emit(np.asarray(scale0(jnp.asarray(frame))))
+        else:
+            batch.append((prev, frame))
+            if len(batch) == dp:
+                flush(batch)
+                batch = []
+        prev = frame
+    flush(batch)
+
+    wall = time.perf_counter() - t_start
+    stats.fps = stats.frames_in / wall if wall > 0 else 0.0
+    return stats

@@ -130,7 +130,7 @@ def make_sharded_interp_step(
     out_hs = (in_h // sp) * out_h // in_h  # output rows per shard
     identity = (out_h, out_w) == (in_h, in_w)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from tpufg.engine.pipeline import interp_planar
 
@@ -165,7 +165,7 @@ def make_sharded_interp_step(
         mesh=mesh,
         in_specs=(specs, specs),
         out_specs=(specs,) * k,
-        check_rep=False,
+        check_vma=False,
     )
 
     in_sharding = NamedSharding(mesh, specs)
