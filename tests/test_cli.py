@@ -23,7 +23,10 @@ class TestParsing:
 
     def test_defaults_match_reference(self):
         args = build_parser().parse_args(["x.raw"])
-        assert args.target_fps == 60          # main.cpp:26
+        # target fps defaults to None = auto-detect from source metadata,
+        # falling back to the reference's 60 (main.cpp:26) — same derivation
+        # spirit as input-size auto-detect
+        assert args.target_fps is None
         assert args.no_interpolation is False  # main.cpp:24
         assert args.interpolation_factor == 0.5  # main.cpp:25
 

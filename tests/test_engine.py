@@ -188,6 +188,109 @@ class TestMotionQuality:
         p_x = psnr(truth[inner] / 255, interp_x.astype(np.float64)[inner] / 255)
         assert p_m > p_x + 6, (p_m, p_x)  # >6 dB better than crossfade
 
+    def test_exhaustive_mode_end_to_end(self, rng):
+        """Config 3 regression: the engine's --motion-mode exhaustive path
+        (motion.comp parity kernel, lattice-subsampled MVs feeding the
+        production warp) must reconstruct a known shift like the pyramid
+        does, and beat crossfade by the same margin."""
+        from tpufg.utils.quality import psnr
+
+        h, w, vx = 128, 128, 6
+        base = rng.random((h + 64, w + 64, 4)).astype(np.float32)
+        for k in (1, 2):
+            base = (base + np.roll(base, k, 0) + np.roll(base, k, 1)) / 3
+        base = (base * 255).astype(np.uint8)
+
+        def frame(i):
+            return base[32: 32 + h, 32 + vx * i: 32 + vx * i + w]
+
+        cfg_e = _cfg(input_width=w, input_height=h, output_width=w,
+                     output_height=h, motion_mode="exhaustive")
+        cfg_x = _cfg(input_width=w, input_height=h, output_width=w,
+                     output_height=h, motion_mode="none")
+        truth = frame(1).astype(np.float64)
+        prev, curr = jnp.asarray(frame(0)), jnp.asarray(frame(2))
+        interp_e = np.asarray(make_interp_step(cfg_e)(prev, curr)[0])
+        prev, curr = jnp.asarray(frame(0)), jnp.asarray(frame(2))
+        interp_x = np.asarray(make_interp_step(cfg_x)(prev, curr)[0])
+        inner = (slice(24, -24), slice(24, -24))
+        p_e = psnr(truth[inner] / 255, interp_e.astype(np.float64)[inner] / 255)
+        p_x = psnr(truth[inner] / 255, interp_x.astype(np.float64)[inner] / 255)
+        assert p_e > p_x + 6, (p_e, p_x)
+
+    def test_mv_grid_8_improves_shear(self, rng):
+        """--mv-grid 8: bilinear MV-field upsample + 8-px block warp must
+        beat the 16-px lattice on motion that varies WITHIN a 16-px block
+        (interpolate.comp:30-31 reads the MV field per-pixel bilinearly;
+        this closes part of that granularity gap)."""
+        from tpufg.utils.quality import psnr
+
+        h, w = 128, 128
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+
+        def frame(t):
+            # horizontal velocity ramp vx(y) = y/16 px/frame; sinusoidal
+            # texture gives exact fractional shifts analytically
+            shift = (ys * t) / 16.0
+            out = np.zeros((h, w, 4))
+            for i, period in enumerate([7.3, 11.1, 17.9, 29.0]):
+                out[..., i] = 127.5 + 100 * np.sin(
+                    2 * np.pi * (xs - shift) / period + i)
+            return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+        prev, curr, truth = frame(0), frame(2), frame(1)
+        inner = (slice(24, -24), slice(24, -24))
+        scores = {}
+        for grid in (16, 8):
+            cfg = _cfg(input_width=w, input_height=h, output_width=w,
+                       output_height=h, motion_mode="pyramid", mv_grid=grid)
+            out = np.asarray(make_interp_step(cfg)(
+                jnp.asarray(prev), jnp.asarray(curr))[0])
+            scores[grid] = psnr(truth[inner].astype(np.float64) / 255,
+                                out[inner].astype(np.float64) / 255)
+        assert scores[8] > scores[16] + 0.3, scores
+
+    def test_mv_grid_8_constant_pan_unchanged(self, rng):
+        """On block-constant motion the upsampled field equals the lattice
+        field, so mv_grid=8 must reconstruct at least as well as 16."""
+        from tpufg.utils.quality import psnr
+
+        h, w, vx = 128, 128, 6
+        base = rng.random((h + 64, w + 64, 4)).astype(np.float32)
+        for k in (1, 2):
+            base = (base + np.roll(base, k, 0) + np.roll(base, k, 1)) / 3
+        base = (base * 255).astype(np.uint8)
+
+        def frame(i):
+            return base[32: 32 + h, 32 + vx * i: 32 + vx * i + w]
+
+        truth = frame(1).astype(np.float64)
+        inner = (slice(24, -24), slice(24, -24))
+        scores = {}
+        for grid in (16, 8):
+            cfg = _cfg(input_width=w, input_height=h, output_width=w,
+                       output_height=h, motion_mode="pyramid", mv_grid=grid)
+            out = np.asarray(make_interp_step(cfg)(
+                jnp.asarray(frame(0)), jnp.asarray(frame(2)))[0])
+            scores[grid] = psnr(truth[inner] / 255,
+                                out[inner].astype(np.float64) / 255)
+        assert scores[8] >= scores[16] - 0.2, scores
+
+    def test_exhaustive_streaming_run(self):
+        """Exhaustive mode through the whole streaming engine (runner +
+        ring + sink), not just the step function."""
+        from tpufg.engine.runner import run_stream
+        from tpufg.io.sinks import NullSink
+        from tpufg.io.sources import SyntheticSource
+
+        cfg = _cfg(input_width=64, input_height=64, output_width=64,
+                   output_height=64, motion_mode="exhaustive")
+        src = SyntheticSource(64, 64, n_frames=5, pattern="pan")
+        sink = NullSink()
+        stats = run_stream(cfg, src, sink, paced=False)
+        assert stats.frames_in == 5
+        assert stats.frames_out == 1 + 4 * 2
+
 
 class TestResume:
     def test_start_frame_resumes(self):

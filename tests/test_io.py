@@ -49,6 +49,83 @@ class TestRaw:
             RawVideoSource(str(p), 0, 0)
 
 
+class TestNativeIngest:
+    """open_source uses the C prefetch ring for raw files when available."""
+
+    def _write(self, tmp_path, frames):
+        p = str(tmp_path / "v.raw")
+        with RawVideoSink(p) as sink:
+            for f in frames:
+                sink.write(f)
+        return p
+
+    def test_open_source_prefers_native(self, tmp_path, frames):
+        from tpufg.io import native
+        p = self._write(tmp_path, frames)
+        src = open_source(p, 32, 24)
+        if native.available():
+            from tpufg.io.sources import NativeRawSource
+            assert isinstance(src, NativeRawSource)
+            assert src.zero_copy
+        # frames bitwise-equal to the memmap source either way
+        got = [np.array(f) for f in src]  # copy out of recycled slots
+        src.close()
+        ref = list(RawVideoSource(p, 32, 24))
+        assert len(got) == len(ref)
+        for g, r in zip(got, ref):
+            np.testing.assert_array_equal(g, r)
+
+    def test_native_bgra_matches_python(self, tmp_path, frames):
+        from tpufg.io import native
+        if not native.available():
+            pytest.skip("no native lib")
+        p = self._write(tmp_path, [f[..., [2, 1, 0, 3]] for f in frames])
+        src = open_source(p, 32, 24, channel_order="bgra")
+        got = [np.array(f) for f in src]
+        src.close()
+        for g, r in zip(got, frames):
+            np.testing.assert_array_equal(g, r)
+
+    def test_fallback_without_native(self, tmp_path, frames, monkeypatch):
+        from tpufg.io import native
+        p = self._write(tmp_path, frames)
+        monkeypatch.setattr(native, "available", lambda: False)
+        src = open_source(p, 32, 24)
+        assert isinstance(src, RawVideoSource)
+        np.testing.assert_array_equal(next(iter(src)), frames[0])
+
+    def test_bad_size_rejected_native(self, tmp_path):
+        p = tmp_path / "bad.raw"
+        p.write_bytes(b"\x00" * 1000)
+        with pytest.raises(SourceError):
+            open_source(str(p), 32, 24)
+
+    def test_cli_raw_ingest(self, tmp_path, frames):
+        """End-to-end: raw file in -> engine -> raw file out, through
+        whatever ingest path open_source resolves (native ring when the
+        toolchain is present)."""
+        from tpufg.cli import main
+        p = self._write(tmp_path, frames)
+        out = str(tmp_path / "out.raw")
+        rc = main([p, "--input-width", "32", "--input-height", "24",
+                   "--output-width", "64", "--no-pacing", "--output", out])
+        assert rc == 0
+        data = np.fromfile(out, np.uint8)
+        # 4 in -> 1 + 3*2 = 7 out frames at 64x48
+        assert data.size == 7 * 48 * 64 * 4
+
+
+class _ChunkedReader:
+    """Stream that returns short reads (like a real pipe under load)."""
+
+    def __init__(self, data: bytes, chunk: int):
+        self._buf = io.BytesIO(data)
+        self._chunk = chunk
+
+    def read(self, n: int) -> bytes:
+        return self._buf.read(min(n, self._chunk))
+
+
 class TestStdin:
     def test_stream(self, frames):
         buf = io.BytesIO(b"".join(f.tobytes() for f in frames))
@@ -56,6 +133,22 @@ class TestStdin:
         out = list(src)
         assert len(out) == 4
         np.testing.assert_array_equal(out[0], frames[0])
+
+    def test_short_reads_accumulate(self, frames):
+        # a pipe returning 1000-byte chunks must still yield whole frames
+        # (short reads are not EOF — io.RawIOBase semantics)
+        data = b"".join(f.tobytes() for f in frames)
+        src = StdinSource(32, 24, stream=_ChunkedReader(data, 1000))
+        out = list(src)
+        assert len(out) == 4
+        for got, ref in zip(out, frames):
+            np.testing.assert_array_equal(got, ref)
+
+    def test_trailing_partial_frame_dropped(self, frames):
+        data = b"".join(f.tobytes() for f in frames) + b"\x01" * 100
+        src = StdinSource(32, 24, stream=_ChunkedReader(data, 777))
+        out = list(src)
+        assert len(out) == 4  # partial tail dropped (with a warning)
 
 
 class TestY4M:
@@ -74,6 +167,48 @@ class TestY4M:
         assert err.max() <= 4
         assert (out[1][..., 3] == 255).all()
         src.close()
+
+    def test_roundtrip_420(self, tmp_path, rng):
+        # smooth content: chroma subsampling error stays small
+        base = rng.integers(60, 196, (1, 1, 4), dtype=np.uint8)
+        smooth = np.tile(base, (24, 32, 1))
+        p = str(tmp_path / "v420.y4m")
+        with Y4MSink(p, 32, 24, fps=30, chroma="420") as sink:
+            sink.write(smooth)
+        sz_420 = __import__("os").path.getsize(p)
+        with Y4MSink(str(tmp_path / "v444.y4m"), 32, 24, fps=30) as sink:
+            sink.write(smooth)
+        sz_444 = __import__("os").path.getsize(str(tmp_path / "v444.y4m"))
+        assert sz_420 < 0.6 * sz_444  # half the chroma payload
+        src = Y4MSource(p)
+        out = list(src)
+        src.close()
+        assert len(out) == 1
+        err = np.abs(out[0][..., :3].astype(int) - smooth[..., :3].astype(int))
+        assert err.max() <= 4
+
+    def test_420_odd_size_falls_back_to_444(self, tmp_path, frames):
+        p = str(tmp_path / "odd.y4m")
+        with Y4MSink(p, 31, 24, fps=30, chroma="420") as sink:
+            sink.write(frames[0][:, :31])
+        header = open(p, "rb").readline()
+        assert b"C444" in header
+
+    def test_cli_fps_metadata_propagates(self, tmp_path, frames):
+        """y4m F tag feeds target_fps when --target-fps is not given; the
+        output container advertises fps * multiplier."""
+        from tpufg.cli import main
+        src_p = str(tmp_path / "in.y4m")
+        with Y4MSink(src_p, 32, 24, fps=25) as sink:
+            for f in frames:
+                sink.write(f)
+        out_p = str(tmp_path / "out.y4m")
+        rc = main([src_p, "--output-width", "64", "--no-pacing",
+                   "--output", out_p, "--y4m-chroma", "420"])
+        assert rc == 0
+        header = open(out_p, "rb").readline().decode()
+        assert "F50000:1000" in header    # 25 fps in -> 50 fps doubled out
+        assert "C420jpeg" in header
 
 
 class TestPNG:

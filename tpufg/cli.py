@@ -45,8 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Output width")
     p.add_argument("--output-height", type=int, default=0, metavar="HEIGHT",
                    help="Output height")
-    p.add_argument("--target-fps", type=int, default=60, metavar="FPS",
-                   help="Target FPS (default: 60)")
+    p.add_argument("--target-fps", type=int, default=None, metavar="FPS",
+                   help="Target FPS (default: source metadata, else 60 — "
+                        "the same auto-detect spirit as input size)")
     p.add_argument("--no-interpolation", action="store_true",
                    help="Disable frame interpolation")
     p.add_argument("--interpolation-factor", type=float, default=0.5,
@@ -56,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", default=None, metavar="SINK",
                    help="output: raw file, *.y4m, dir/ (PNGs), 'null' "
                         "(default: null)")
+    p.add_argument("--y4m-chroma", choices=["444", "420"], default="444",
+                   help="y4m output chroma: 444 (lossless) or 420 "
+                        "(half the file size)")
     p.add_argument("--frames", type=int, default=None, metavar="N",
                    help="stop after N input frames")
     p.add_argument("--start-frame", type=int, default=0, metavar="N",
@@ -99,6 +103,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lanczos-a", type=int, default=3)
     p.add_argument("--block-size", type=int, default=8)
     p.add_argument("--search-radius", type=int, default=16)
+    p.add_argument("--mv-grid", type=int, choices=[16, 8], default=16,
+                   help="warp granularity: 16-px MV blocks, or 8 "
+                        "(bilinearly upsampled MV field, smoother motion "
+                        "boundaries at extra warp cost)")
     return p
 
 
@@ -118,7 +126,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         input_height=args.input_height,
         output_width=args.output_width,
         output_height=args.output_height,
-        target_fps=args.target_fps,
+        target_fps=args.target_fps if args.target_fps is not None else 60,
         enable_interpolation=not args.no_interpolation,
         interpolation_factor=args.interpolation_factor,
         lanczos_a=args.lanczos_a,
@@ -128,6 +136,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         motion_mode=args.motion_mode,
         overlay=args.overlay,
         fps_multiplier=args.fps_multiplier,
+        mv_grid=args.mv_grid,
     )
 
     from tpufg.io.sinks import open_sink
@@ -141,6 +150,12 @@ def main(argv: Optional[list[str]] = None) -> int:
     except (ConfigError, SourceError, OSError) as e:
         log.error(str(e))
         return 1
+
+    # rate auto-detect: like the reference's input-size auto-detect
+    # (main.cpp:67-74), an unspecified --target-fps takes the source's
+    # frame rate when the container reports one (y4m F tag)
+    if args.target_fps is None and source.fps:
+        cfg.target_fps = max(1, int(round(source.fps)))
 
     try:
         cfg = resolve_sizes(cfg, detected_input=source.size)
@@ -156,7 +171,7 @@ def main(argv: Optional[list[str]] = None) -> int:
     out_fps = cfg.target_fps * (cfg.fps_multiplier
                                 if cfg.enable_interpolation else 1)
     sink = open_sink(args.output, cfg.output_width, cfg.output_height,
-                     fps=float(out_fps))
+                     fps=float(out_fps), y4m_chroma=args.y4m_chroma)
 
     from tpufg.engine.runner import run_stream
 

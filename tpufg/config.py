@@ -57,6 +57,10 @@ class EngineConfig:
     motion_mode: str = "pyramid"  # {"exhaustive", "pyramid", "none", "learned"}
     # fps multiplication factor for streaming interpolation (30->60 is 2)
     fps_multiplier: int = 2
+    # warp granularity in pixels: MVs are estimated on a 16-px lattice;
+    # 8 bilinearly upsamples the MV field before warping (closer to
+    # interpolate.comp's per-pixel bilinear MV read, at extra warp cost)
+    mv_grid: int = 16
     # number of in-flight frame slots in the device ring
     ring_slots: int = 3
     # burn the reference-style stats line into output frames
@@ -79,6 +83,9 @@ class EngineConfig:
         if self.fps_multiplier < 2:
             raise ConfigError(
                 f"fps multiplier must be >= 2, got {self.fps_multiplier}")
+        if self.mv_grid not in (16, 8):
+            raise ConfigError(
+                f"mv_grid must be 16 or 8, got {self.mv_grid}")
         for name in ("input_width", "input_height", "output_width", "output_height"):
             if getattr(self, name) < 0:
                 raise ConfigError(f"{name} must be >= 0")

@@ -93,7 +93,7 @@ def make_exact_scale_step(cfg: EngineConfig) -> Callable:
 def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
                   search_radius: int, model_params=None,
                   interpret: bool | None = None,
-                  skip_finest_refine: int = 1) -> list:
+                  skip_finest_refine: int = 1, mv_grid: int = MV_GRID) -> list:
     """The production interpolation core, shared by the single-chip step and
     the multi-chip sharded step (tpufg.parallel.spatial) so multi-chip runs
     the SAME math per shard.
@@ -101,6 +101,12 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
     ``p``/``c``: planar f32 [C, h, w] frames (any h/w; padded internally to
     the motion/warp lattice and cropped back).  Returns one [C, h, w]
     interpolated frame per blend factor in ``factors``.
+
+    ``mv_grid``: warp granularity.  16 warps whole MV-lattice blocks;
+    8 bilinearly upsamples the MV field to an 8-px lattice first — a step
+    toward interpolate.comp's per-pixel bilinear MV read
+    (shaders/interpolate.comp:30-31), trading warp cost for smoother
+    motion boundaries.
     """
     _, h, w = p.shape
     interps = []
@@ -137,9 +143,16 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
                                     search_radius=search_radius,
                                     exact_box=False, interpret=interpret)
         mv = mv_px[:, MV_GRID // 2::MV_GRID, MV_GRID // 2::MV_GRID]
+    if mv_grid != MV_GRID:
+        # bilinear MV-field upsample to the finer lattice: both lattices
+        # have half-cell-centered sites, exactly jax.image.resize's
+        # "linear" convention, so cell centers interpolate correctly
+        f = MV_GRID // mv_grid
+        mv = jax.image.resize(
+            mv, (2, mv.shape[1] * f, mv.shape[2] * f), method="linear")
     for tf in factors:  # one MV field shared by all time points
         warped = warp_blend_matmul(pp, cp, -mv, factor=tf,
-                                   block=MV_GRID,
+                                   block=mv_grid,
                                    search_radius=max(search_radius, 8),
                                    dtype=dt)
         interps.append(warped[:, :h, :w])
@@ -208,7 +221,8 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
         _, h, w = p.shape
         interps = interp_planar(p, c, mode=mode, factors=factors, dt=dt,
                                 block_size=b, search_radius=r,
-                                model_params=model_params)
+                                model_params=model_params,
+                                mv_grid=cfg.mv_grid)
         # separate scale calls per output (a stacked-channel single call
         # measured ~1.3 ms slower: the concat materializes both frames)
         if (out_h, out_w) == (h, w):

@@ -24,7 +24,6 @@ import time
 from dataclasses import dataclass, field
 from typing import Optional
 
-import jax
 import numpy as np
 
 from tpufg.config import EngineConfig
@@ -36,7 +35,7 @@ from tpufg.engine.pipeline import (
 from tpufg.io.sinks import FrameSink
 from tpufg.io.sources import FrameSource
 from tpufg.utils.logging import get_logger
-from tpufg.utils.stats import FpsWindow, LatencyRecorder
+from tpufg.utils.stats import FpsWindow, LatencyRecorder, device_sync
 
 
 @dataclass
@@ -81,6 +80,9 @@ class StreamingEngine:
         segment's first frame after the first segment)."""
         cfg = self.cfg
         stats = StreamStats()
+        # zero-copy slot sources (NativeRawSource) need each upload synced
+        # before the iterator advances; capture before any re-wrapping
+        sync_upload = bool(getattr(source, "zero_copy", False))
         if start_frame > 0:
             it = iter(source)
             for _ in range(start_frame):
@@ -120,7 +122,8 @@ class StreamingEngine:
         if paced and frame_period > 0:
             from tpufg.io.native import NativeClock
             clock = NativeClock(float(cfg.target_fps))
-        ring = DeviceIngestRing(source, depth=max(1, cfg.ring_slots - 1))
+        ring = DeviceIngestRing(source, depth=max(1, cfg.ring_slots - 1),
+                                sync_upload=sync_upload)
         for i, dev in enumerate(ring):
             if max_frames is not None and i >= max_frames:
                 break
@@ -141,10 +144,12 @@ class StreamingEngine:
 
             # paced (real-time) mode syncs every frame — the deadline is
             # per frame; throughput mode samples the sync so the async
-            # pipeline stays full.  warmup (compile) frames are excluded
-            # from the latency distribution.
+            # pipeline stays full.  The sync is a one-element fetch, not
+            # block_until_ready (unreliable on relay-attached devices, see
+            # utils.stats.device_sync).  warmup (compile) frames are
+            # excluded from the latency distribution.
             if paced or stats.frames_in % 8 == 3:  # sampled sync, skips warmup
-                jax.block_until_ready(outs[-1])
+                device_sync(outs[-1])
                 if stats.frames_in > 2:
                     self._lat.record(time.perf_counter() - t0)
             self._fps_win.tick()
@@ -223,6 +228,9 @@ def run_sharded_stream(cfg: EngineConfig, source: FrameSource,
              f"({devices} devices), rows {in_h}->{h_pad} padded")
 
     stats = StreamStats()
+    # zero-copy slot sources: frames are buffered across iterations here
+    # (dp batching), so they must be copied out of the recycled slots
+    zero_copy = bool(getattr(source, "zero_copy", False))
     t_start = time.perf_counter()
     it = iter(source)
     for _ in range(start_frame):
@@ -258,7 +266,8 @@ def run_sharded_stream(cfg: EngineConfig, source: FrameSource,
     for frame in it:
         if max_frames is not None and stats.frames_in >= max_frames:
             break
-        frame = np.ascontiguousarray(frame)
+        frame = (np.array(frame) if zero_copy
+                 else np.ascontiguousarray(frame))
         stats.frames_in += 1
         if not cfg.enable_interpolation:
             # scale-only transcode: no cross-frame dependence to shard

@@ -75,17 +75,42 @@ def _rgb_to_bt601(rgb: np.ndarray):
 
 
 class Y4MSink(FrameSink):
-    """YUV4MPEG2 writer (C444, BT.601 limited range)."""
+    """YUV4MPEG2 writer (BT.601 limited range; C444 or C420).
 
-    def __init__(self, path: str, width: int, height: int, fps: float = 60.0):
+    C420 (2x2 box-averaged chroma) halves the file size vs C444 and is what
+    players/encoders expect by default; C444 is lossless in chroma.  C420
+    needs even dimensions — odd sizes fall back to C444 (with a warning).
+    """
+
+    def __init__(self, path: str, width: int, height: int, fps: float = 60.0,
+                 chroma: str = "444"):
+        if chroma not in ("444", "420"):
+            raise ValueError(f"y4m chroma must be 444 or 420, got {chroma!r}")
+        if chroma == "420" and (width % 2 or height % 2):
+            from tpufg.utils.logging import get_logger
+            get_logger().warning(
+                f"C420 needs even dimensions, got {width}x{height}: "
+                f"writing C444")
+            chroma = "444"
+        self._chroma = chroma
         self._f = sys.stdout.buffer if path == "-" else open(path, "wb")
         self._own = path != "-"
         num = int(round(fps * 1000))
+        tag = "C444" if chroma == "444" else "C420jpeg"
         self._f.write(
-            f"YUV4MPEG2 W{width} H{height} F{num}:1000 Ip A1:1 C444\n".encode())
+            f"YUV4MPEG2 W{width} H{height} F{num}:1000 Ip A1:1 {tag}\n"
+            .encode())
 
     def write(self, frame):
         y, u, v = _rgb_to_bt601(frame[..., :3])
+        if self._chroma == "420":
+            # 2x2 box average (centered siting, "420jpeg")
+            def down(p):
+                p16 = p.astype(np.uint16)
+                s = (p16[0::2, 0::2] + p16[0::2, 1::2]
+                     + p16[1::2, 0::2] + p16[1::2, 1::2])
+                return ((s + 2) >> 2).astype(np.uint8)
+            u, v = down(u), down(v)
         self._f.write(b"FRAME\n")
         self._f.write(y.tobytes())
         self._f.write(u.tobytes())
@@ -127,12 +152,12 @@ class PNGDirSink(FrameSink):
 
 
 def open_sink(spec: Optional[str], width: int, height: int,
-              fps: float = 60.0) -> FrameSink:
+              fps: float = 60.0, y4m_chroma: str = "444") -> FrameSink:
     """Resolve an --output spec: null/none, *.y4m, directory/ (PNGs), raw file."""
     if spec is None or spec in ("null", "none"):
         return NullSink()
     if spec.endswith(".y4m"):
-        return Y4MSink(spec, width, height, fps)
+        return Y4MSink(spec, width, height, fps, chroma=y4m_chroma)
     if spec.endswith("/") or os.path.isdir(spec):
         return PNGDirSink(spec.rstrip("/"))
     return RawVideoSink(spec)

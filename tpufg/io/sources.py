@@ -107,6 +107,58 @@ class RawVideoSource(FrameSource):
         del self._mm
 
 
+class NativeRawSource(FrameSource):
+    """Raw-file source backed by the C prefetch ring (production ingest).
+
+    A native reader thread mmap-reads and channel-converts frames into
+    page-aligned slots ahead of consumption (tpufg/native/fgio.cpp), so
+    disk + decode overlap device compute.  Yielded frames are views into
+    ring slots, valid only until the next iteration step — consumers must
+    finish the host->device copy before advancing (``zero_copy`` signals
+    the engine's ingest ring to sync each upload; the upload then overlaps
+    device compute, not the next host read, which is the right trade: the
+    reader thread is the one we're hiding).
+    """
+
+    #: consumers must not advance the iterator while an async host->device
+    #: copy of the previous frame may still be reading the slot
+    zero_copy = True
+
+    def __init__(self, path: str, width: int, height: int,
+                 channel_order: str = "rgba", fps: Optional[float] = None,
+                 n_slots: int = 4):
+        if width <= 0 or height <= 0:
+            raise SourceError("raw source needs explicit --input-width/height")
+        frame_bytes = width * height * 4
+        size = os.path.getsize(path)
+        if size % frame_bytes:
+            raise SourceError(
+                f"{path}: size {size} not a multiple of frame size "
+                f"{frame_bytes} ({width}x{height}x4)")
+        from tpufg.io.native import NativeRawRing
+        self._ring = NativeRawRing(path, width, height, n_slots=n_slots,
+                                   src_is_bgra=(channel_order == "bgra"))
+        self._w, self._h = width, height
+        self._fps = fps
+
+    @property
+    def size(self):
+        return (self._w, self._h)
+
+    @property
+    def fps(self):
+        return self._fps
+
+    def __len__(self):
+        return len(self._ring)
+
+    def __iter__(self):
+        return iter(self._ring)
+
+    def close(self):
+        self._ring.close()
+
+
 class StdinSource(FrameSource):
     """Packed RGBA/BGRA frames streamed over a pipe (stdin by default)."""
 
@@ -329,4 +381,15 @@ def open_source(spec: str, width: int = 0, height: int = 0,
         return StdinSource(width, height, channel_order)
     if spec.endswith(".y4m"):
         return Y4MSource(spec)
+    # raw file: prefer the C prefetch ring (background read + convert into
+    # page-aligned slots); fall back to the python memmap source when the
+    # toolchain/library is unavailable
+    from tpufg.io import native
+    if native.available():
+        try:
+            return NativeRawSource(spec, width, height, channel_order)
+        except SourceError:
+            raise
+        except Exception:
+            pass  # ring creation failed: memmap fallback below
     return RawVideoSource(spec, width, height, channel_order)

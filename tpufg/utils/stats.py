@@ -37,6 +37,22 @@ class FpsWindow:
         return (len(self._times) - 1) / span
 
 
+def device_sync(arr) -> None:
+    """Wait for a device computation by fetching ONE element.
+
+    ``jax.block_until_ready`` is unreliable over relay-attached devices
+    (it can return before execution completes — measured: 0.02 ms reported
+    for an 8 ms step), so every latency-bearing sync in the engine and
+    bench uses a one-element fetch, which cannot complete before the
+    producing computation does.  The fetch itself costs one host<->device
+    round-trip — callers measuring pure device time must subtract a
+    measured null-RTT (see bench.py).
+    """
+    import numpy as _np
+
+    _np.asarray(arr.ravel()[0:1])
+
+
 class LatencyRecorder:
     def __init__(self, capacity: int = 100_000):
         self.capacity = capacity
