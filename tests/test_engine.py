@@ -276,6 +276,100 @@ class TestMotionQuality:
                                 out[inner].astype(np.float64) / 255)
         assert scores[8] >= scores[16] - 0.2, scores
 
+    def test_mv_filter_snaps_outliers(self):
+        """median_filter_mv: an isolated wrong vector in a consensus field
+        is removed exactly; a constant field is untouched (so the filter
+        can never hurt clean content)."""
+        from tpufg.models.pyramid import median_filter_mv
+
+        field = np.full((2, 8, 10), 6.0, np.float32)
+        field[0, 3, 4] = -16.0   # isolated outlier
+        field[1, 5, 7] = 12.0
+        out = np.asarray(median_filter_mv(jnp.asarray(field)))
+        np.testing.assert_array_equal(out, np.full((2, 8, 10), 6.0))
+
+    def test_mv_filter_noise_no_harm(self, rng):
+        """--mv-filter through the pipeline: at worst neutral on clean and
+        noisy pan content (the PSNR gain under heavy noise is real but
+        seed-dependent — +0.1..0.3 dB at sigma=60 — so the regression
+        gate is no-harm, and the outlier-snapping is unit-tested above)."""
+        from tpufg.utils.quality import psnr
+
+        h, w, vx = 128, 128, 6
+        base = rng.random((h + 64, w + 64, 4)).astype(np.float32)
+        for k in (1, 2):
+            base = (base + np.roll(base, k, 0) + np.roll(base, k, 1)) / 3
+        base = base * 255
+
+        def frame(i, noise):
+            f = base[32: 32 + h, 32 + vx * i: 32 + vx * i + w]
+            n = rng.normal(0, noise, f.shape)
+            return np.clip(np.round(f + n), 0, 255).astype(np.uint8)
+
+        truth = base[32: 32 + h, 32 + vx: 32 + vx + w].astype(np.float64)
+        inner = (slice(24, -24), slice(24, -24))
+        # same noise draw for both configs; keep on host — the equal-size
+        # step donates its first arg, so device arrays can't be reused
+        pairs = {n: (frame(0, n), frame(2, n)) for n in (0, 60)}
+
+        def run(noise, mv_filter):
+            cfg = _cfg(input_width=w, input_height=h, output_width=w,
+                       output_height=h, motion_mode="pyramid",
+                       mv_filter=mv_filter)
+            a, b = pairs[noise]
+            out = np.asarray(make_interp_step(cfg)(
+                jnp.asarray(a), jnp.asarray(b))[0])
+            return psnr(truth[inner] / 255,
+                        out[inner].astype(np.float64) / 255)
+
+        assert run(0, True) > run(0, False) - 0.05   # clean: no-op
+        assert run(60, True) > run(60, False) - 0.05  # noisy: never worse
+
+    def test_occlusion_blend_reduces_covered_ghosting(self, rng):
+        """--occlusion-blend: where warped sources disagree (covered or
+        revealed background around a mover), the blend shifts toward the
+        temporally closer frame.  Measured characteristic (DESIGN.md): the
+        covered strip's ghosting drops by ~30%; net full-frame PSNR may dip
+        slightly because the symmetric revealed strip prefers the other
+        frame — bound that cost."""
+        from tpufg.utils.quality import psnr
+
+        h, w = 128, 128
+        bg = rng.random((h, w, 4)).astype(np.float32)
+        for k in (1, 2):
+            bg = (bg + np.roll(bg, k, 0) + np.roll(bg, k, 1)) / 3
+        box = rng.random((32, 32, 4)).astype(np.float32)
+        for k in (1, 2):
+            box = (box + np.roll(box, k, 0) + np.roll(box, k, 1)) / 3
+
+        def frame(t):
+            f = bg.copy()
+            x = 32 + 8 * t
+            f[48:80, x:x + 32] = box
+            return np.clip(f * 255, 0, 255).astype(np.uint8)
+
+        prev, curr, truth = frame(0), frame(2), frame(1).astype(np.float64)
+
+        def run(occ):
+            cfg = _cfg(input_width=w, input_height=h, output_width=w,
+                       output_height=h, motion_mode="pyramid",
+                       occlusion_blend=occ)
+            return np.asarray(make_interp_step(cfg)(
+                jnp.asarray(prev), jnp.asarray(curr))[0]).astype(np.float64)
+
+        out_p, out_o = run(False), run(True)
+        covered = (slice(48, 80), slice(72, 80))  # bg about to be covered
+
+        def rmse(x, reg):
+            return np.sqrt(np.mean((x[reg] - truth[reg]) ** 2))
+
+        assert rmse(out_o, covered) < 0.8 * rmse(out_p, covered), (
+            rmse(out_o, covered), rmse(out_p, covered))
+        inner = (slice(16, -16), slice(16, -16))
+        p_p = psnr(truth[inner] / 255, out_p[inner] / 255)
+        p_o = psnr(truth[inner] / 255, out_o[inner] / 255)
+        assert p_o > p_p - 0.8, (p_o, p_p)  # bounded net cost
+
     def test_exhaustive_streaming_run(self):
         """Exhaustive mode through the whole streaming engine (runner +
         ring + sink), not just the step function."""

@@ -107,6 +107,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="warp granularity: 16-px MV blocks, or 8 "
                         "(bilinearly upsampled MV field, smoother motion "
                         "boundaries at extra warp cost)")
+    p.add_argument("--mv-filter", action="store_true",
+                   help="3x3 median filter on the MV field (kills isolated "
+                        "outlier vectors)")
+    p.add_argument("--occlusion-blend", action="store_true",
+                   help="shift the blend toward the temporally closer frame "
+                        "where warped sources disagree (suppresses "
+                        "double-exposure ghosts at occlusions)")
     return p
 
 
@@ -137,6 +144,8 @@ def main(argv: Optional[list[str]] = None) -> int:
         overlay=args.overlay,
         fps_multiplier=args.fps_multiplier,
         mv_grid=args.mv_grid,
+        mv_filter=args.mv_filter,
+        occlusion_blend=args.occlusion_blend,
     )
 
     from tpufg.io.sinks import open_sink

@@ -61,6 +61,11 @@ class EngineConfig:
     # 8 bilinearly upsamples the MV field before warping (closer to
     # interpolate.comp's per-pixel bilinear MV read, at extra warp cost)
     mv_grid: int = 16
+    # 3x3 median filter on the MV lattice (kills isolated outlier vectors)
+    mv_filter: bool = False
+    # occlusion-aware blending: shift toward the temporally closer frame
+    # where the warped sources disagree (suppresses double-exposure ghosts)
+    occlusion_blend: bool = False
     # number of in-flight frame slots in the device ring
     ring_slots: int = 3
     # burn the reference-style stats line into output frames

@@ -93,7 +93,9 @@ def make_exact_scale_step(cfg: EngineConfig) -> Callable:
 def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
                   search_radius: int, model_params=None,
                   interpret: bool | None = None,
-                  skip_finest_refine: int = 1, mv_grid: int = MV_GRID) -> list:
+                  skip_finest_refine: int = 1, mv_grid: int = MV_GRID,
+                  mv_filter: bool = False,
+                  occlusion_blend: bool = False) -> list:
     """The production interpolation core, shared by the single-chip step and
     the multi-chip sharded step (tpufg.parallel.spatial) so multi-chip runs
     the SAME math per shard.
@@ -143,6 +145,9 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
                                     search_radius=search_radius,
                                     exact_box=False, interpret=interpret)
         mv = mv_px[:, MV_GRID // 2::MV_GRID, MV_GRID // 2::MV_GRID]
+    if mv_filter:
+        from tpufg.models.pyramid import median_filter_mv
+        mv = median_filter_mv(mv)
     if mv_grid != MV_GRID:
         # bilinear MV-field upsample to the finer lattice: both lattices
         # have half-cell-centered sites, exactly jax.image.resize's
@@ -154,7 +159,7 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
         warped = warp_blend_matmul(pp, cp, -mv, factor=tf,
                                    block=mv_grid,
                                    search_radius=max(search_radius, 8),
-                                   dtype=dt)
+                                   dtype=dt, occlusion=occlusion_blend)
         interps.append(warped[:, :h, :w])
     return interps
 
@@ -222,7 +227,9 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
         interps = interp_planar(p, c, mode=mode, factors=factors, dt=dt,
                                 block_size=b, search_radius=r,
                                 model_params=model_params,
-                                mv_grid=cfg.mv_grid)
+                                mv_grid=cfg.mv_grid,
+                                mv_filter=cfg.mv_filter,
+                                occlusion_blend=cfg.occlusion_blend)
         # separate scale calls per output (a stacked-channel single call
         # measured ~1.3 ms slower: the concat materializes both frames)
         if (out_h, out_w) == (h, w):

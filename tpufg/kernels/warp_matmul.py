@@ -34,6 +34,12 @@ from tpufg.kernels.common import round_up
 
 F32 = jnp.float32
 
+# occlusion-blend response: k=0 below OCC_D0 mean-abs disagreement
+# ([0,1] units), saturating to a hard side-pick over 1/OCC_SLOPE
+# (thresholds tuned on the occluding-box content in tests/test_engine.py)
+OCC_D0 = 0.08
+OCC_SLOPE = 8.0
+
 
 def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
               dtype, prec, max_off):
@@ -107,7 +113,7 @@ def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
 @functools.partial(
     jax.jit,
     static_argnames=("factor", "block", "search_radius", "single", "dtype",
-                     "_valid_w"),
+                     "occlusion", "_valid_w"),
 )
 def warp_blend_matmul(
     prev: jax.Array,
@@ -118,6 +124,7 @@ def warp_blend_matmul(
     search_radius: int = 16,
     single: bool = False,
     dtype=jnp.float32,
+    occlusion: bool = False,
     _valid_w: int | None = None,
 ) -> jax.Array:
     """Motion-compensated blend (production XLA/MXU path).
@@ -126,6 +133,14 @@ def warp_blend_matmul(
     f32 frames, [2, H//block, W//block] pixel-unit forward-flow MVs.
     ``dtype`` selects the matmul precision (bf16 for production).
     W must be a multiple of 128 and H of ``block``.
+
+    ``occlusion``: occlusion-aware blending.  Where the two warped sources
+    disagree photometrically, one of them is occluded (covered/revealed
+    content exists in only one frame) and averaging produces a
+    double-exposure ghost; instead the blend shifts toward the temporally
+    closer frame.  Fused elementwise on the already-materialized warped
+    pair — measured cost is noise.  Off by default (the shader spec blends
+    unconditionally, interpolate.comp:38).
     """
     n_ch, h, w = prev.shape
     g = int(block)
@@ -141,7 +156,7 @@ def warp_blend_matmul(
         mv = jnp.pad(mv, ((0, 0), (0, 0), (0, pw // g)), mode="edge")
         out = warp_blend_matmul(prev, curr, mv, factor=factor, block=block,
                                 search_radius=search_radius, single=single,
-                                dtype=dtype, _valid_w=w)
+                                dtype=dtype, occlusion=occlusion, _valid_w=w)
         return out[:, :, :w]
     n_by, n_bx = h // g, w // g
     if mv.shape != (2, n_by, n_bx):
@@ -202,5 +217,15 @@ def warp_blend_matmul(
     c_ext = pad(curr)
     warped_p = _warp_one(p_ext, *offsets(-t), **kw) + F32(0.5)
     warped_c = _warp_one(c_ext, *offsets(F32(1.0) - t), **kw) + F32(0.5)
-    return (warped_p * oob_mask(-t) * (F32(1.0) - t)
-            + warped_c * oob_mask(F32(1.0) - t) * t)
+    mask_p = oob_mask(-t)
+    mask_c = oob_mask(F32(1.0) - t)
+    base = warped_p * mask_p * (F32(1.0) - t) + warped_c * mask_c * t
+    if not occlusion:
+        return base
+    # photometric disagreement of the two warped sources ([0,1] units):
+    # large -> covered/revealed content, averaging would double-expose
+    d = jnp.mean(jnp.abs(warped_p - warped_c), axis=0, keepdims=True)
+    k = jnp.clip((d - F32(OCC_D0)) * F32(OCC_SLOPE), F32(0.0), F32(1.0))
+    chosen = (warped_p * mask_p if float(factor) <= 0.5
+              else warped_c * mask_c)
+    return base * (F32(1.0) - k) + chosen * k

@@ -53,6 +53,23 @@ def _block_subsample(mv: jax.Array, g: int) -> jax.Array:
     return mv[:, g // 2::g, g // 2::g]
 
 
+def median_filter_mv(mv: jax.Array) -> jax.Array:
+    """3x3 per-component median on the block-MV lattice (edge-replicated).
+
+    The classic block-matching post-filter: a block whose best match is an
+    outlier (flat/noisy texture, occlusion) gets snapped to its neighbors'
+    consensus, removing isolated wrong vectors before they become warp
+    artifacts.  The reference's WIP never got here (readme.md:85-92 —
+    "Improve interpolation quality" unchecked); quality gain is gated by
+    TestMotionQuality-style margins in tests/test_engine.py.
+    """
+    c, hb, wb = mv.shape
+    p = jnp.pad(mv, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    taps = jnp.stack([p[:, i:i + hb, j:j + wb]
+                      for i in range(3) for j in range(3)])
+    return jnp.median(taps, axis=0).astype(mv.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("levels", "base_radius", "refine_radius", "block_size",

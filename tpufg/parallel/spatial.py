@@ -143,7 +143,8 @@ def make_sharded_interp_step(
         interps = interp_planar(
             p_ext, c_ext, mode=mode, factors=factors, dt=dt,
             block_size=cfg.block_size, search_radius=cfg.search_radius,
-            interpret=interpret, mv_grid=cfg.mv_grid)
+            interpret=interpret, mv_grid=cfg.mv_grid,
+            mv_filter=cfg.mv_filter, occlusion_blend=cfg.occlusion_blend)
         if identity:
             scale = lambda x: x
         else:
