@@ -55,7 +55,7 @@ def main():
     t0 = time.perf_counter()
     out = step(*pairs[0])
     leaf = jax.tree_util.tree_leaves(out)[0]
-    _ = np.asarray(leaf.ravel()[0:1])
+    _ = np.asarray(leaf[0:1, 0:1, 0:1])
     log(f"compile+first-run: {time.perf_counter() - t0:.1f}s")
 
     # steady-state throughput: enqueue N steps, one sync.  Reusing the
@@ -68,7 +68,7 @@ def main():
     for i in range(n):
         last = step(*pairs[i % len(pairs)])
     leaf = jax.tree_util.tree_leaves(last)[0]
-    _ = np.asarray(leaf.ravel()[0:1])
+    _ = np.asarray(leaf[0:1, 0:1, 0:1])
     dt = time.perf_counter() - t0
     per_pair_ms = dt / n * 1e3
     # each step emits 2 output frames (interpolated + scaled current)
@@ -86,11 +86,11 @@ def main():
     # minus the measured null-RTT (the same one-element fetch against an
     # already-materialized array).  Raw numbers go to stderr for honesty.
     ready = jax.tree_util.tree_leaves(last)[0]
-    _ = np.asarray(ready.ravel()[0:1])
+    _ = np.asarray(ready[0:1, 0:1, 0:1])
     rtts = []
     for _i in range(15):
         t0 = time.perf_counter()
-        _ = np.asarray(ready.ravel()[0:1])
+        _ = np.asarray(ready[0:1, 0:1, 0:1])
         rtts.append(time.perf_counter() - t0)
     null_rtt_ms = float(np.median(rtts) * 1e3)
 
@@ -99,7 +99,7 @@ def main():
         t0 = time.perf_counter()
         o = step(*pairs[i % len(pairs)])
         leaf = jax.tree_util.tree_leaves(o)[0]
-        _ = np.asarray(leaf.ravel()[0:1])
+        _ = np.asarray(leaf[0:1, 0:1, 0:1])
         lats.append(time.perf_counter() - t0)
     lats = np.array(lats) * 1e3
     # per OUTPUT frame (each step emits 2); the step produces both at once,

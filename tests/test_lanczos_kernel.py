@@ -65,3 +65,35 @@ def test_constant_preserved(rng):
     img = jnp.full((4, 33, 47), 0.5, jnp.float32)
     out = lanczos_scale_fast(img, 66, 94)
     np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-5)
+
+
+class TestPackedScale:
+    """lanczos_scale_packed: fused scale + UNORM8 quantize + channel pack
+    must emit the same bytes as planar_to_frames(lanczos_scale_fast(...))."""
+
+    @pytest.mark.parametrize("in_hw,out_hw", [
+        ((64, 96), (128, 192)),     # clean 2x
+        ((50, 70), (173, 241)),     # ugly ratio, padded tiles + crop
+        ((128, 128), (96, 96)),     # downscale
+    ])
+    def test_matches_fast_plus_convert(self, rng, in_hw, out_hw):
+        from tpufg.kernels.convert import planar_to_frames
+        from tpufg.kernels.lanczos import lanczos_scale_packed
+
+        img = _rand_chw(rng, 4, *in_hw)
+        for cd in (jnp.float32, jnp.bfloat16):
+            ref = np.asarray(planar_to_frames(
+                lanczos_scale_fast(img, *out_hw, compute_dtype=cd)))
+            got = np.asarray(lanczos_scale_packed(img, *out_hw,
+                                                  compute_dtype=cd))
+            assert got.shape == (*out_hw, 4)
+            # identical math per channel; the only permitted divergence is
+            # 1-ulp accumulation from a different tile plan
+            d = np.abs(got.astype(int) - ref.astype(int))
+            assert d.max() <= 1
+            assert (d > 0).mean() < 1e-5
+
+    def test_needs_four_channels(self, rng):
+        from tpufg.kernels.lanczos import lanczos_scale_packed
+        with pytest.raises(ValueError):
+            lanczos_scale_packed(_rand_chw(rng, 3, 16, 16), 32, 32)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from tpufg.config import EngineConfig
 from tpufg.kernels.convert import frames_to_planar, planar_to_frames
-from tpufg.kernels.lanczos import lanczos_scale_fast
+from tpufg.kernels.lanczos import lanczos_scale_fast, lanczos_scale_packed
 from tpufg.kernels.motion import motion_search_tiled
 from tpufg.kernels.warp_matmul import warp_blend_matmul
 from tpufg.models.pyramid import pyramid_motion_search
@@ -67,11 +67,10 @@ def make_scale_step(cfg: EngineConfig) -> Callable:
             # identity resample: integer-offset taps give the center tap
             # weight exactly 1 and the rest exactly 0 (sin(pi*k) = 0), so
             # Lanczos at equal size is the identity — skip the kernel
-            scaled = planar
-        else:
-            scaled = lanczos_scale_fast(planar, out_h, out_w, a,
-                                        compute_dtype=dt)
-        return planar_to_frames(scaled)
+            return planar_to_frames(planar)
+        # fused scale+quantize+pack: final wire bytes leave the kernel
+        return lanczos_scale_packed(planar, out_h, out_w, a,
+                                    compute_dtype=dt)
 
     return step
 
@@ -235,12 +234,14 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
         if (out_h, out_w) == (h, w):
             # identity resample (see make_scale_step): skip the kernel —
             # the 4K->4K fps-doubling config spends ~3 ms/pair here
-            scale = lambda x: x
+            pack = planar_to_frames
         else:
-            scale = lambda x: lanczos_scale_fast(x, out_h, out_w, a,
-                                                 compute_dtype=dt)
-        outs = [planar_to_frames(scale(x)) for x in interps]
-        outs.append(planar_to_frames(scale(c)))
+            # fused scale+quantize+pack: the f32 scaled intermediate and
+            # the channel transpose never touch HBM
+            pack = lambda x: lanczos_scale_packed(x, out_h, out_w, a,
+                                                  compute_dtype=dt)
+        outs = [pack(x) for x in interps]
+        outs.append(pack(c))
         return tuple(outs)
 
     return step

@@ -12,8 +12,12 @@ normalized to [0, 1] (UNORM read: x/255).
 Egress quantizes with the Vulkan UNORM8 store convention (clamp, *255,
 round-to-nearest-even) — shared with the oracle's quantize_unorm8.
 
-These are deliberately plain XLA ops: transpose + convert fuse well and run
-at HBM bandwidth; a Pallas version bought nothing in profiling.
+These are deliberately plain XLA ops: transpose + convert fuse well with
+their producers.  (Measured dead ends, do not retry: a standalone Pallas
+quantize+int32-pack kernel is ~0.2 ms faster in isolation at 4K but SLOWER
+in the step — its custom-call boundary forces materialization of the lazy
+crop slice feeding it, +0.5 ms/output; the winning fusion packs inside the
+*producing* kernel instead, see kernels/lanczos.py lanczos_scale_packed.)
 """
 
 from __future__ import annotations

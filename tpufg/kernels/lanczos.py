@@ -202,6 +202,169 @@ def _scale_kernel(row_start_ref, col_start_ref, img_ref, by_ref, bx_ref,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
+def _scale_packed_kernel(row_start_ref, col_start_ref, img_ref, by_ref,
+                         bx_ref, out_ref, span_ref, sem, *, span_y, span_x,
+                         compute_dtype, n_c, n_ty, n_tx, add_half):
+    """Fused scale + UNORM8 quantize + channel pack.
+
+    One grid step computes ALL channels of an output tile (one span DMA
+    covers the channel stack), quantizes each to its uint8 code, and packs
+    the four codes into one int32 lane (r | g<<8 | b<<16 | a<<24) — the
+    step's output is final wire bytes, so the big f32 intermediate and the
+    strided channel transpose never touch HBM (the "touch HBM once"
+    north-star item for the scale path).
+    """
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+
+    def start_dma(tyi, txi, slot):
+        rs = pl.multiple_of(row_start_ref[tyi], 8)
+        cs = pl.multiple_of(col_start_ref[txi], 128)
+        pltpu.make_async_copy(
+            img_ref.at[:, pl.ds(rs, span_y), pl.ds(cs, span_x)],
+            span_ref.at[slot], sem.at[slot],
+        ).start()
+
+    lin = ty * n_tx + tx
+    slot = jax.lax.rem(lin, 2)
+
+    @pl.when(lin == 0)
+    def _():
+        start_dma(ty, tx, slot)
+
+    @pl.when(lin + 1 < n_ty * n_tx)
+    def _():
+        nxt = lin + 1
+        start_dma(nxt // n_tx, jax.lax.rem(nxt, n_tx), 1 - slot)
+
+    pltpu.make_async_copy(
+        img_ref.at[:, pl.ds(pl.multiple_of(row_start_ref[ty], 8), span_y),
+                   pl.ds(pl.multiple_of(col_start_ref[tx], 128), span_x)],
+        span_ref.at[slot], sem.at[slot],
+    ).wait()
+    sp = span_ref.at[slot]
+
+    def one_channel(ci):
+        ch = sp[ci]
+        if compute_dtype == jnp.bfloat16 and ch.dtype == jnp.float32:
+            # split-dot: same math as _scale_kernel (see rationale there)
+            def split_dot(a_f32, b_bf16, swap=False):
+                hi = a_f32.astype(jnp.bfloat16)
+                lo = (a_f32 - hi.astype(F32)).astype(jnp.bfloat16)
+                if swap:
+                    return (jnp.dot(b_bf16, hi, preferred_element_type=F32)
+                            + jnp.dot(b_bf16, lo, preferred_element_type=F32))
+                return (jnp.dot(hi, b_bf16, preferred_element_type=F32)
+                        + jnp.dot(lo, b_bf16, preferred_element_type=F32))
+
+            tmp = split_dot(ch, bx_ref[0])
+            out = split_dot(tmp, by_ref[0], swap=True)
+        else:
+            prec = (jax.lax.Precision.HIGHEST if ch.dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT)
+            tmp = jnp.dot(ch, bx_ref[0], preferred_element_type=F32,
+                          precision=prec)
+            out = jnp.dot(by_ref[0], tmp, preferred_element_type=F32,
+                          precision=prec)
+        if add_half:
+            out = out + F32(0.5)
+        return jnp.round(
+            jnp.clip(out, F32(0.0), F32(1.0)) * F32(255.0)).astype(jnp.int32)
+
+    packed = one_channel(0)
+    for ci in range(1, n_c):
+        packed = packed | (one_channel(ci) << (8 * ci))
+    out_ref[...] = packed
+
+
+def _pick_tile(out_size: int, mult: int, cap: int) -> int:
+    """Largest multiple of ``mult`` <= cap that divides ``out_size`` (so no
+    crop copy is needed); falls back to the padded-tile plan."""
+    t = (cap // mult) * mult
+    while t >= mult:
+        if out_size % t == 0:
+            return t
+        t -= mult
+    return min(cap, round_up(out_size, mult))
+
+
+def lanczos_scale_packed(
+    img: jax.Array,
+    out_h: int,
+    out_w: int,
+    a: int = 3,
+    tile_out: int = 256,
+    interpret: bool | None = None,
+    compute_dtype=None,
+) -> jax.Array:
+    """Lanczos resample fused with UNORM8 quantization and channel packing.
+
+    ``img``: [4, H, W] f32/bf16 planar.  Returns uint8 [out_h, out_w, 4] —
+    the same bytes as ``planar_to_frames(lanczos_scale_fast(...))`` (the
+    int32 lanes bitcast little-endian, channel 0 in byte 0) without the
+    f32 intermediate or the strided transpose ever reaching HBM.
+    """
+    if interpret is None:
+        interpret = use_interpret()
+    c, in_h, in_w = img.shape
+    if c != 4:
+        raise ValueError(f"packed scale needs 4 channels, got {c}")
+    dtype = img.dtype
+    if compute_dtype is None:
+        compute_dtype = dtype
+
+    t_ox = _pick_tile(out_w, 128, min(tile_out, round_up(out_w, 128)))
+    t_oy = _pick_tile(out_h, 8, min(tile_out, round_up(out_h, 8)))
+    col_starts, bx, span_x, n_tx, in_wp, pad_l = _axis_plan(
+        in_w, out_w, a, t_ox, 128)
+    row_starts, by_t, span_y, n_ty, in_hp, pad_t = _axis_plan(
+        in_h, out_h, a, t_oy, 8)
+    by = np.transpose(by_t, (0, 2, 1)).copy()
+
+    center = compute_dtype == jnp.bfloat16 and dtype == jnp.float32
+    band_dtype = jnp.bfloat16 if center else dtype
+    if center:
+        img = img - jnp.asarray(0.5, dtype)
+    img_p = jnp.pad(img, ((0, 0), (pad_t, in_hp - in_h - pad_t),
+                          (pad_l, in_wp - in_w - pad_l)))
+    out_hp, out_wp = n_ty * t_oy, n_tx * t_ox
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_ty, n_tx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),               # img (HBM)
+            pl.BlockSpec((1, t_oy, span_y), lambda ty, tx, *_: (ty, 0, 0)),
+            pl.BlockSpec((1, span_x, t_ox), lambda ty, tx, *_: (tx, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((t_oy, t_ox), lambda ty, tx, *_: (ty, tx)),
+        scratch_shapes=[
+            pltpu.VMEM((2, c, span_y, span_x), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _scale_packed_kernel, span_y=span_y, span_x=span_x,
+        compute_dtype=compute_dtype, n_c=c, n_ty=n_ty, n_tx=n_tx,
+        add_half=center,
+    )
+    packed = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_hp, out_wp), jnp.int32),
+        interpret=interpret,
+    )(
+        jnp.asarray(row_starts),
+        jnp.asarray(col_starts),
+        img_p,
+        jnp.asarray(by, dtype=band_dtype),
+        jnp.asarray(bx, dtype=band_dtype),
+    )
+    if (out_hp, out_wp) != (out_h, out_w):
+        packed = packed[:out_h, :out_w]  # uncommon: no divisor tile fits
+    return jax.lax.bitcast_convert_type(packed, jnp.uint8)
+
+
 def lanczos_scale_fast(
     img: jax.Array,
     out_h: int,

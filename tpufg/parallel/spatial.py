@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpufg.config import ConfigError, EngineConfig
 from tpufg.kernels.convert import frames_to_planar, planar_to_frames
-from tpufg.kernels.lanczos import lanczos_scale_fast
+from tpufg.kernels.lanczos import lanczos_scale_packed
 
 F32 = jnp.float32
 
@@ -145,17 +145,18 @@ def make_sharded_interp_step(
             block_size=cfg.block_size, search_radius=cfg.search_radius,
             interpret=interpret, mv_grid=cfg.mv_grid,
             mv_filter=cfg.mv_filter, occlusion_blend=cfg.occlusion_blend)
-        if identity:
-            scale = lambda x: x
-        else:
-            scale = lambda x: lanczos_scale_fast(
-                x, out_hs + 2 * halo_out, out_w, cfg.lanczos_a,
-                compute_dtype=dt, interpret=interpret)
         # scale WITH the halo present (interior Lanczos taps see real
-        # neighbor rows), then crop the scaled halo
-        outs = [planar_to_frames(scale(x)[:, halo_out:-halo_out, :])
-                for x in interps]
-        outs.append(planar_to_frames(scale(c_ext)[:, halo_out:-halo_out, :]))
+        # neighbor rows), then crop the scaled halo.  Non-identity sizes
+        # use the fused scale+quantize+pack kernel (same bytes as
+        # planar_to_frames(lanczos_scale_fast(...)), single HBM touch).
+        if identity:
+            pack = lambda x: planar_to_frames(x)[HALO:-HALO]
+        else:
+            pack = lambda x: lanczos_scale_packed(
+                x, out_hs + 2 * halo_out, out_w, cfg.lanczos_a,
+                compute_dtype=dt, interpret=interpret)[halo_out:-halo_out]
+        outs = [pack(x) for x in interps]
+        outs.append(pack(c_ext))
         return tuple(outs)
 
     shard_fn = jax.vmap(pair_fn)  # local batch axis (dp block)

@@ -47,10 +47,14 @@ def device_sync(arr) -> None:
     producing computation does.  The fetch itself costs one host<->device
     round-trip — callers measuring pure device time must subtract a
     measured null-RTT (see bench.py).
+    Implementation note: slice one element per axis rather than ravel —
+    ravel materializes a full on-device copy (~0.4 ms for a 4K frame,
+    visible in traces as jit_ravel) before the fetch.
     """
     import numpy as _np
 
-    _np.asarray(arr.ravel()[0:1])
+    tiny = arr[tuple(slice(0, 1) for _ in range(getattr(arr, "ndim", 0)))]
+    _np.asarray(tiny)
 
 
 class LatencyRecorder:
