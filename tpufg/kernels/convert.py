@@ -22,14 +22,61 @@ crop slice feeding it, +0.5 ms/output; the winning fusion packs inside the
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from tpufg.kernels.common import use_interpret
 
 F32 = jnp.float32
 
 
-def frames_to_planar(frames: jax.Array, dtype=jnp.float32) -> jax.Array:
-    """uint8 [..., H, W, C] -> planar [..., C, H, W] in [0,1]."""
+def _unpack_kernel(x_ref, o_ref):
+    q = x_ref[...]                               # [bh, bw] i32 (4 u8 lanes)
+    inv = F32(1.0 / 255.0)
+    for ci in range(4):
+        o_ref[ci] = ((q >> (8 * ci)) & 0xFF).astype(F32) * inv
+
+
+def _block_dims(h: int, w: int):
+    for bh in (48, 40, 32, 24, 16, 8):
+        if h % bh == 0:
+            for bw in (768, 640, 512, 384, 256, 128):
+                if w % bw == 0:
+                    return bh, bw
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
+def frames_to_planar(frames: jax.Array, dtype=jnp.float32,
+                     interpret: bool | None = None) -> jax.Array:
+    """uint8 [..., H, W, C] -> planar [..., C, H, W] in [0,1].
+
+    4-channel full frames take a Pallas unpack kernel: the uint8[H,W,4]
+    input bitcasts (free, little-endian lanes) to int32[H,W]; the kernel
+    shifts the four bytes out in VMEM and writes the planar f32 stack —
+    no strided transpose traffic.  Safe here because the operand is a jit
+    argument (already materialized); the mirrored OUTPUT-side pack kernel
+    regressed for the reason in the module docstring.
+    """
+    if interpret is None:
+        interpret = use_interpret()
+    if (frames.ndim == 3 and frames.shape[-1] == 4
+            and frames.dtype == jnp.uint8 and not interpret):
+        h, w, _ = frames.shape
+        dims = _block_dims(h, w)
+        if dims is not None:
+            bh, bw = dims
+            packed = jax.lax.bitcast_convert_type(frames, jnp.int32)
+            out = pl.pallas_call(
+                _unpack_kernel, grid=(h // bh, w // bw),
+                in_specs=[pl.BlockSpec((bh, bw), lambda i, j: (i, j))],
+                out_specs=pl.BlockSpec((4, bh, bw), lambda i, j: (0, i, j)),
+                out_shape=jax.ShapeDtypeStruct((4, h, w), jnp.float32),
+            )(packed)
+            return out.astype(dtype)
     x = frames.astype(F32) / F32(255.0)
     x = jnp.moveaxis(x, -1, -3)
     return x.astype(dtype)
