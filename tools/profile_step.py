@@ -1,0 +1,115 @@
+"""Per-kernel device-time breakdown of the production interp step.
+
+Runs the 1080p->4K pyramid step on the attached chip under the JAX
+profiler and aggregates per-op device durations from the trace ("TensorFlow
+Ops" / XLA Ops lanes), so perf work targets the actual hot ops rather than
+guesses.  Dev tool — not part of the shipped package.
+"""
+
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+import time
+from collections import defaultdict
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(in_w=1920, in_h=1080, out_mult=2, n=24, mode="pyramid", k=2):
+    import jax
+    import jax.numpy as jnp
+
+    from tpufg.config import EngineConfig, resolve_sizes
+    from tpufg.engine.pipeline import make_interp_step
+
+    cfg = resolve_sizes(EngineConfig(
+        input_width=in_w, input_height=in_h,
+        output_width=in_w * out_mult, output_height=in_h * out_mult,
+        dtype="bf16", motion_mode=mode, fps_multiplier=k,
+    ))
+    step = make_interp_step(cfg)
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, (in_h + 32, in_w + 32, 4), dtype=np.uint8)
+    pairs = []
+    for i in range(4):
+        a = base[i:in_h + i, 2 * i:in_w + 2 * i]
+        b = base[i + 1:in_h + 1 + i, 2 * i + 2:in_w + 2 + 2 * i]
+        pairs.append((jnp.asarray(np.ascontiguousarray(a)),
+                      jnp.asarray(np.ascontiguousarray(b))))
+
+    out = step(*pairs[0])
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0][0:1, 0:1, 0:1])
+
+    t0 = time.perf_counter()
+    last = None
+    for i in range(n):
+        last = step(*pairs[i % len(pairs)])
+    _ = np.asarray(jax.tree_util.tree_leaves(last)[0][0:1, 0:1, 0:1])
+    dt = time.perf_counter() - t0
+    print(f"steady-state: {dt / n * 1e3:.2f} ms/pair", file=sys.stderr)
+
+    trace_dir = tempfile.mkdtemp(prefix="tpufg_prof_")
+    jax.profiler.start_trace(trace_dir)
+    for i in range(8):
+        last = step(*pairs[i % len(pairs)])
+    _ = np.asarray(jax.tree_util.tree_leaves(last)[0][0:1, 0:1, 0:1])
+    jax.profiler.stop_trace()
+
+    import re
+
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    ev = json.load(gzip.open(sorted(files)[-1]))
+    lanes = {}
+    for e in ev["traceEvents"]:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            lanes[(e["pid"], e["tid"])] = e["args"].get("name", "")
+
+    shown_args = 0
+    agg = defaultdict(float)
+    cnt = defaultdict(int)
+    scope = defaultdict(float)
+    total = 0.0
+    for e in ev["traceEvents"]:
+        lane = lanes.get((e.get("pid"), e.get("tid")), "")
+        if e.get("ph") != "X" or lane != "XLA Ops":
+            continue
+        name = re.sub(r"[.\d]+$", "", e.get("name", ""))
+        ms = e.get("dur", 0) / 1e3
+        agg[name] += ms
+        cnt[name] += 1
+        total += ms
+        args = e.get("args", {}) or {}
+        # attribute to the deepest repo source line in the stack
+        st = args.get("source_stack", "")
+        src = "?"
+        for line in str(st).splitlines():
+            if "/tpufg/" in line:
+                src = line.strip().rsplit(":", 1)[0]
+                break
+        scope[src] += ms
+    rows = sorted(agg.items(), key=lambda kv: -kv[1])
+    print(f"XLA Ops total {total:.2f} ms over 8 steps "
+          f"({total / 8:.2f} ms/step)")
+    for name, ms in rows[:30]:
+        print(f"{ms / 8:8.3f} ms/step  x{cnt[name] / 8:<6.1f} {name[:100]}")
+    print("--- by source line ---")
+    for name, ms in sorted(scope.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"{ms / 8:8.3f} ms/step  {name[:110]}")
+
+
+if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--in-w", type=int, default=1920)
+    ap.add_argument("--in-h", type=int, default=1080)
+    ap.add_argument("--out-mult", type=int, default=2)
+    ap.add_argument("--mode", default="pyramid")
+    ap.add_argument("-k", type=int, default=2)
+    ap.add_argument("-n", type=int, default=24)
+    args = ap.parse_args()
+    main(args.in_w, args.in_h, args.out_mult, args.n, args.mode, args.k)

@@ -45,7 +45,12 @@ def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
               dtype, prec, max_off):
     """Warp one frame by per-block offsets.
 
-    ext: [C, H + 2*halo, W + 2*halo] edge-padded planar frame.
+    (A batched variant warping prev+curr in one pass with a leading frame
+    axis measured 6.7 vs 4.9 ms/step at 1080p->4K — the stack and the extra
+    axis force layout copies that dwarf the saved per-op overhead — so the
+    two-call form is kept.)
+
+    ext: [C, H + 2*halo, W'] edge-padded planar frame (compute dtype).
     ix0/iy0: [n_by, n_bx] int32 floor offsets; fx/fy fractions.
     Returns [C, H, W].
     """
@@ -60,6 +65,8 @@ def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
     n_seg = band_rows // g
     assert band_rows % g == 0 and ext.shape[1] % g == 0
     groups = ext.astype(dtype).reshape(c, ext.shape[1] // g, g, we)
+    one = jnp.asarray(1.0, dtype)
+    zero = jnp.asarray(0.0, dtype)
 
     bands = jnp.concatenate(
         [groups[:, i:i + n_by] for i in range(n_seg)], axis=2
@@ -78,17 +85,25 @@ def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
     jj = jax.lax.broadcasted_iota(jnp.int32, (span, 128), 1)
     d = ii - jj - halo                                    # [256, 128]
     sh = jnp.transpose(sx.reshape(n_by, n_tx, 128), (1, 0, 2))[:, :, None, :]
-    fr = jnp.transpose(fxc.reshape(n_by, n_tx, 128), (1, 0, 2))[:, :, None, :]
-    s_full = (jnp.where(d[None, None] == sh, F32(1.0) - fr, F32(0.0))
-              + jnp.where(d[None, None] == sh + 1, fr, F32(0.0)))
-    s_full = s_full.astype(dtype)                         # [n_tx,n_by,256,128]
+    fr = jnp.transpose(fxc.reshape(n_by, n_tx, 128),
+                       (1, 0, 2))[:, :, None, :].astype(dtype)
+    # built directly in the compute dtype: the f32 [n_tx,n_by,256,128]
+    # intermediate + convert measured ~0.4 ms/step at 1080p (134 MB of HBM
+    # churn for a matrix the MXU reads as bf16 anyway)
+    s_full = (jnp.where(d[None, None] == sh, one - fr, zero)
+              + jnp.where(d[None, None] == sh + 1, fr, zero))
     segs = bands.reshape(c, n_by, band_rows, n_tx + 1, 128)
+    # einsums emit the compute dtype: each element is exact-f32-accumulated
+    # in the MXU then rounded once; only outputs whose 2-tap window spans
+    # the segment boundary (<= 2 cols per 128) pick up a second rounding
+    # from the cross-segment add (<= 1 ulp; f32 path unchanged — dtype=F32
+    # makes this identical to an f32 accumulate)
     hx = (jnp.einsum("cbrtw,tbwj->cbrtj", segs[..., :-1, :],
                      s_full[:, :, :128, :], precision=prec,
-                     preferred_element_type=F32)
+                     preferred_element_type=dtype)
           + jnp.einsum("cbrtw,tbwj->cbrtj", segs[..., 1:, :],
                        s_full[:, :, 128:, :], precision=prec,
-                       preferred_element_type=F32))
+                       preferred_element_type=dtype))
     hx = hx.reshape(c, n_by, band_rows, w)                # [C, n_by, R, W]
 
     # --- vertical: one-hot accumulation over the possible integer offsets,
@@ -98,8 +113,6 @@ def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
     # the f32 variant measured 8 ms slower (fusion degrades).
     iy0c = jnp.repeat(iy0, g, axis=1)[None, :, None, :]   # [1,n_by,1,W]
     fyc = jnp.repeat(fy, g, axis=1)[None, :, None, :].astype(dtype)
-    hx = hx.astype(dtype)
-    one = jnp.asarray(1.0, dtype)
     out = jnp.zeros((c, n_by, g, w), F32)
     for delta in range(-max_off, max_off + 1):
         m = (iy0c == delta)
@@ -182,8 +195,11 @@ def warp_blend_matmul(
     def pad(x):
         # centered around 0: the warp is affine with unit weight sums, so
         # f(x - 1/2) + 1/2 == f(x) exactly — but bf16's absolute rounding
-        # on [-1/2, 1/2] operands is half that on [0, 1]
-        return jnp.pad(x.astype(F32) - F32(0.5),
+        # on [-1/2, 1/2] operands is half that on [0, 1].  Cast to the
+        # compute dtype BEFORE the edge pad (identical values — the cast
+        # previously happened on the padded tensor) so the f32 extended
+        # frame never touches HBM.
+        return jnp.pad((x.astype(F32) - F32(0.5)).astype(dtype),
                        ((0, 0), (halo, halo), (halo, 128 - halo)),
                        mode="edge")
 
