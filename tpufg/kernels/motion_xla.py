@@ -125,6 +125,11 @@ def motion_search_lattice(
     curr_blk = curr.astype(F32).reshape(n_ch, hb, g, wb, g)[
         :, :, off:off + b, :, off:off + b]
 
+    # NOTE: batching all (2r+1)^2 candidates along a leading stacked axis
+    # measured 3x SLOWER (14.9 vs 4.9 ms/step at 1080p): the stacked
+    # [K, C, Hb, b, Wb, b] tensors keep the b=8 minor dims (6% lane
+    # utilization) and the 42 MB materialization + copies dwarf the saved
+    # per-op overhead.  The trace-unrolled per-candidate loop below stays.
     best_cost = jnp.full((hb, wb), 1e10, F32)
     best_dx = jnp.zeros((hb, wb), F32)
     best_dy = jnp.zeros((hb, wb), F32)

@@ -71,6 +71,15 @@ def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
     bands = jnp.concatenate(
         [groups[:, i:i + n_by] for i in range(n_seg)], axis=2
     )                                                     # [C, n_by, R, We]
+    # only band rows [halo-max_off, halo+max_off+g+1) are ever read by the
+    # vertical pass below; trim to the enclosing 8-aligned window before
+    # the einsums (17% less band/einsum/hx traffic at the default halo=16,
+    # eff_r=8 — XLA folds the slice into the concat operands)
+    lo = max(0, (halo - max_off) // 8 * 8)
+    hi = min(band_rows, -(-(halo + max_off + g + 1) // 8) * 8)
+    bands = bands[:, :, lo:hi]
+    band_rows = hi - lo
+    halo_v = halo - lo                 # vertical-slice origin within bands
 
     # --- horizontal: per-column 2-banded shift matrices.  Output col tile t
     # (128 wide) reads ext cols [t*128+1, t*128+128+2*halo) — a 256 window,
@@ -116,8 +125,8 @@ def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
     out = jnp.zeros((c, n_by, g, w), F32)
     for delta in range(-max_off, max_off + 1):
         m = (iy0c == delta)
-        rows0 = hx[:, :, halo + delta: halo + delta + g, :]
-        rows1 = hx[:, :, halo + delta + 1: halo + delta + g + 1, :]
+        rows0 = hx[:, :, halo_v + delta: halo_v + delta + g, :]
+        rows1 = hx[:, :, halo_v + delta + 1: halo_v + delta + g + 1, :]
         lerped = rows0 * (one - fyc) + rows1 * fyc
         out = out + jnp.where(m, lerped.astype(F32), F32(0.0))
     return out.reshape(c, h, w)
