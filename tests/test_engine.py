@@ -386,6 +386,58 @@ class TestMotionQuality:
         assert stats.frames_out == 1 + 4 * 2
 
 
+class TestI32Wire:
+    """The packed-int32 wire must be byte-identical to the uint8 wire."""
+
+    def test_planar_roundtrip_bitwise(self, rng):
+        from tpufg.kernels.convert import (frames_to_planar,
+                                           planar_to_frames, planar_to_i32)
+        u8 = rng.integers(0, 256, (64, 128, 4), dtype=np.uint8)
+        i32 = u8.view(np.int32).reshape(64, 128)
+        a = np.asarray(frames_to_planar(jnp.asarray(u8)))
+        b = np.asarray(frames_to_planar(jnp.asarray(i32)))
+        np.testing.assert_array_equal(a, b)
+        planar = jnp.asarray(rng.random((4, 64, 128)).astype(np.float32))
+        pu = np.asarray(planar_to_frames(planar))
+        pi = np.asarray(planar_to_i32(planar))
+        np.testing.assert_array_equal(
+            pu, pi.view(np.uint8).reshape(64, 128, 4))
+
+    def test_interp_step_bitwise(self, rng):
+        cfg = _cfg(input_width=128, input_height=64, output_width=256,
+                   output_height=128, dtype="bf16", motion_mode="pyramid")
+        u8s = [rng.integers(0, 256, (64, 128, 4), dtype=np.uint8)
+               for _ in range(2)]
+        outs_u8 = make_interp_step(cfg)(*map(jnp.asarray, u8s))
+        i32s = [u.view(np.int32).reshape(64, 128) for u in u8s]
+        outs_i32 = make_interp_step(cfg, wire="i32")(*map(jnp.asarray, i32s))
+        assert len(outs_u8) == len(outs_i32)
+        for a, b in zip(outs_u8, outs_i32):
+            bu = np.asarray(b)
+            np.testing.assert_array_equal(
+                np.asarray(a),
+                bu.view(np.uint8).reshape(bu.shape[0], bu.shape[1], 4))
+
+    def test_identity_size_step_bitwise(self, rng):
+        cfg = _cfg(input_width=128, input_height=64, output_width=128,
+                   output_height=64, motion_mode="none")
+        u8s = [rng.integers(0, 256, (64, 128, 4), dtype=np.uint8)
+               for _ in range(2)]
+        outs_u8 = make_interp_step(cfg)(*map(jnp.asarray, u8s))
+        i32s = [u.view(np.int32).reshape(64, 128) for u in u8s]
+        outs_i32 = make_interp_step(cfg, wire="i32")(*map(jnp.asarray, i32s))
+        for a, b in zip(outs_u8, outs_i32):
+            bu = np.asarray(b)
+            np.testing.assert_array_equal(
+                np.asarray(a),
+                bu.view(np.uint8).reshape(bu.shape[0], bu.shape[1], 4))
+
+    def test_exact_precision_rejects_i32(self):
+        cfg = _cfg()
+        with pytest.raises(ValueError):
+            make_interp_step(cfg, "exact", wire="i32")
+
+
 class TestResume:
     def test_start_frame_resumes(self):
         # segment outputs stitch: full run == run[0:] + resumed run minus

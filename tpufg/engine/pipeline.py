@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from tpufg.config import EngineConfig
-from tpufg.kernels.convert import frames_to_planar, planar_to_frames
+from tpufg.kernels.convert import (frames_to_planar, planar_to_frames,
+                                   planar_to_i32)
 from tpufg.kernels.lanczos import lanczos_scale_fast, lanczos_scale_packed
 from tpufg.kernels.motion import motion_search_tiled
 from tpufg.kernels.warp_matmul import warp_blend_matmul
@@ -52,11 +53,18 @@ def _edge_pad_chw(x: jax.Array, hp: int, wp: int) -> jax.Array:
     return jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
 
 
-def make_scale_step(cfg: EngineConfig) -> Callable:
-    """uint8 [H, W, 4] -> scaled uint8 [outH, outW, 4]  (config 1 path)."""
+def make_scale_step(cfg: EngineConfig, wire: str = "u8") -> Callable:
+    """uint8 [H, W, 4] -> scaled uint8 [outH, outW, 4]  (config 1 path).
+
+    ``wire="i32"``: frames cross the host boundary as packed int32 [H, W]
+    RGBA lanes instead (identical bytes; the host's uint8 view is free) —
+    skips the on-device u8<->i32 bitcast relayouts (see frames_to_planar /
+    lanczos_scale_packed raw_i32).
+    """
     out_h, out_w = cfg.output_height, cfg.output_width
     a = cfg.lanczos_a
     dt = _dtype(cfg)
+    i32 = wire == "i32"
 
     @jax.jit
     def step(frame_u8):
@@ -67,10 +75,10 @@ def make_scale_step(cfg: EngineConfig) -> Callable:
             # identity resample: integer-offset taps give the center tap
             # weight exactly 1 and the rest exactly 0 (sin(pi*k) = 0), so
             # Lanczos at equal size is the identity — skip the kernel
-            return planar_to_frames(planar)
+            return (planar_to_i32 if i32 else planar_to_frames)(planar)
         # fused scale+quantize+pack: final wire bytes leave the kernel
         return lanczos_scale_packed(planar, out_h, out_w, a,
-                                    compute_dtype=dt)
+                                    compute_dtype=dt, raw_i32=i32)
 
     return step
 
@@ -164,7 +172,7 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
 
 
 def make_interp_step(cfg: EngineConfig, precision: str = "fast",
-                     model_params=None) -> Callable:
+                     model_params=None, wire: str = "u8") -> Callable:
     """(prev_u8, curr_u8) -> (interp_scaled_u8, ..., curr_scaled_u8).
 
     The fps-multiplying streaming step.  With cfg.fps_multiplier == k it
@@ -173,6 +181,11 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
     single in-between point is cfg.interpolation_factor (the reference's
     blend-factor semantic, main.cpp:25).  ``model_params``: learned-head
     parameters, required for motion_mode="learned" (config 5).
+
+    ``wire="i32"``: identical bytes as packed int32 [H, W] RGBA lanes at
+    both boundaries (fast precision only) — the host views uint8 frames
+    as int32 for free, and the step skips the on-device u8<->i32 bitcast
+    relayouts (~0.5 ms/pair at 1080p->4K).
     """
     out_h, out_w = cfg.output_height, cfg.output_width
     t = cfg.interpolation_factor
@@ -187,6 +200,10 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
     k = max(2, int(cfg.fps_multiplier))
     factors = ([t] if k == 2
                else [i / float(k) for i in range(1, k)])
+    i32 = wire == "i32"
+    if i32 and precision == "exact":
+        raise ValueError("wire='i32' applies to the fast path only "
+                         "(the exact oracle speaks uint8 frames)")
 
     # Donating prev only pays when an output buffer can actually alias it:
     # the equal-size fps-multiply config (uint8 [H,W,4] in and out).  For
@@ -234,12 +251,13 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
         if (out_h, out_w) == (h, w):
             # identity resample (see make_scale_step): skip the kernel —
             # the 4K->4K fps-doubling config spends ~3 ms/pair here
-            pack = planar_to_frames
+            pack = planar_to_i32 if i32 else planar_to_frames
         else:
             # fused scale+quantize+pack: the f32 scaled intermediate and
             # the channel transpose never touch HBM
             pack = lambda x: lanczos_scale_packed(x, out_h, out_w, a,
-                                                  compute_dtype=dt)
+                                                  compute_dtype=dt,
+                                                  raw_i32=i32)
         outs = [pack(x) for x in interps]
         outs.append(pack(c))
         return tuple(outs)

@@ -61,12 +61,15 @@ class StreamingEngine:
         self.cfg = cfg
         self.precision = precision
         self.log = get_logger()
+        # fast path speaks the packed-int32 wire: identical bytes, free
+        # uint8 views on the host, no u8<->i32 bitcast relayouts on-device
+        self._wire = "u8" if precision == "exact" else "i32"
         if cfg.enable_interpolation:
             self._step2 = make_interp_step(
                 cfg, "exact" if precision == "exact" else "fast",
-                model_params=model_params)
+                model_params=model_params, wire=self._wire)
         self._step1 = (make_exact_scale_step(cfg) if precision == "exact"
-                       else make_scale_step(cfg))
+                       else make_scale_step(cfg, wire=self._wire))
         self._fps_win = FpsWindow(cfg.fps_window)
         self._lat = LatencyRecorder()
 
@@ -91,11 +94,28 @@ class StreamingEngine:
                 except StopIteration:
                     break
             source = it
+        if self._wire == "i32":
+            # free reinterpretation: uint8 [H, W, 4] -> packed int32 [H, W]
+            # (the step's wire format; the device upload moves bytes either
+            # way, but the i32 wire skips the on-device bitcast relayout)
+            def _i32_view(frames):
+                for f in frames:
+                    if not f.flags["C_CONTIGUOUS"]:
+                        f = np.ascontiguousarray(f)
+                    yield f.view(np.int32).reshape(f.shape[0], f.shape[1])
+            source = _i32_view(source)
         frame_period = 1.0 / cfg.target_fps if cfg.target_fps > 0 else 0.0
         prev_dev = None
         pending = []  # device arrays whose host copy we delay one frame
 
         needs_host = getattr(sink, "needs_host", True)
+
+        def as_u8(a: np.ndarray) -> np.ndarray:
+            # packed-int32 wire -> uint8 [H, W, 4]: a free view of the
+            # row-major host copy (same bytes, little-endian lanes)
+            if a.dtype == np.int32:
+                return a.view(np.uint8).reshape(a.shape[0], a.shape[1], 4)
+            return a
 
         def flush_pending():
             for arr in pending:
@@ -106,11 +126,11 @@ class StreamingEngine:
                     from tpufg.engine.overlay import draw_stats
                     # np.array: device readback is read-only; force a copy
                     sink.write(draw_stats(
-                        np.array(arr), self._fps_win.fps,
+                        as_u8(np.array(arr)), self._fps_win.fps,
                         (cfg.input_width, cfg.input_height),
                         (cfg.output_width, cfg.output_height)))
                 else:
-                    sink.write(np.asarray(arr))
+                    sink.write(as_u8(np.asarray(arr)))
                 stats.frames_out += 1
             pending.clear()
 
