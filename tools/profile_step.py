@@ -32,24 +32,27 @@ def main(in_w=1920, in_h=1080, out_mult=2, n=24, mode="pyramid", k=2):
         output_width=in_w * out_mult, output_height=in_h * out_mult,
         dtype="bf16", motion_mode=mode, fps_multiplier=k,
     ))
-    step = make_interp_step(cfg)
+    step = make_interp_step(cfg, wire="i32")  # the production wire
     rng = np.random.default_rng(0)
     base = rng.integers(0, 256, (in_h + 32, in_w + 32, 4), dtype=np.uint8)
+
+    def as_i32(x):
+        return np.ascontiguousarray(x).view(np.int32).reshape(x.shape[:2])
+
     pairs = []
     for i in range(4):
         a = base[i:in_h + i, 2 * i:in_w + 2 * i]
         b = base[i + 1:in_h + 1 + i, 2 * i + 2:in_w + 2 + 2 * i]
-        pairs.append((jnp.asarray(np.ascontiguousarray(a)),
-                      jnp.asarray(np.ascontiguousarray(b))))
+        pairs.append((jnp.asarray(as_i32(a)), jnp.asarray(as_i32(b))))
 
     out = step(*pairs[0])
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0][0:1, 0:1, 0:1])
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0][0:1, 0:1])
 
     t0 = time.perf_counter()
     last = None
     for i in range(n):
         last = step(*pairs[i % len(pairs)])
-    _ = np.asarray(jax.tree_util.tree_leaves(last)[0][0:1, 0:1, 0:1])
+    _ = np.asarray(jax.tree_util.tree_leaves(last)[0][0:1, 0:1])
     dt = time.perf_counter() - t0
     print(f"steady-state: {dt / n * 1e3:.2f} ms/pair", file=sys.stderr)
 
@@ -57,7 +60,7 @@ def main(in_w=1920, in_h=1080, out_mult=2, n=24, mode="pyramid", k=2):
     jax.profiler.start_trace(trace_dir)
     for i in range(8):
         last = step(*pairs[i % len(pairs)])
-    _ = np.asarray(jax.tree_util.tree_leaves(last)[0][0:1, 0:1, 0:1])
+    _ = np.asarray(jax.tree_util.tree_leaves(last)[0][0:1, 0:1])
     jax.profiler.stop_trace()
 
     import re
@@ -97,6 +100,21 @@ def main(in_w=1920, in_h=1080, out_mult=2, n=24, mode="pyramid", k=2):
           f"({total / 8:.2f} ms/step)")
     for name, ms in rows[:30]:
         print(f"{ms / 8:8.3f} ms/step  x{cnt[name] / 8:<6.1f} {name[:100]}")
+    # anonymous copies by shape (relayout forensics)
+    shapes = defaultdict(float)
+    scnt = defaultdict(int)
+    for e in ev["traceEvents"]:
+        lane = lanes.get((e.get("pid"), e.get("tid")), "")
+        if e.get("ph") != "X" or lane != "XLA Ops":
+            continue
+        if not re.match(r"copy[.\d]*$", e.get("name", "")):
+            continue
+        sh = (e.get("args", {}) or {}).get("shape_with_layout", "?")
+        shapes[sh] += e.get("dur", 0) / 1e3
+        scnt[sh] += 1
+    print("--- copies by shape ---")
+    for sh, ms in sorted(shapes.items(), key=lambda kv: -kv[1])[:12]:
+        print(f"{ms / 8:8.3f} ms/step  x{scnt[sh] / 8:<6.1f} {sh[:100]}")
     print("--- by source line ---")
     for name, ms in sorted(scope.items(), key=lambda kv: -kv[1])[:30]:
         print(f"{ms / 8:8.3f} ms/step  {name[:110]}")
