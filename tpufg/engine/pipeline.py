@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from tpufg.config import EngineConfig
 from tpufg.kernels.convert import (frames_to_planar, planar_to_frames,
                                    planar_to_i32)
-from tpufg.kernels.lanczos import lanczos_scale_fast, lanczos_scale_packed
+from tpufg.kernels.lanczos import lanczos_scale_packed
 from tpufg.kernels.motion import motion_search_tiled
 from tpufg.kernels.warp_matmul import warp_blend_matmul
 from tpufg.models.pyramid import pyramid_motion_search

@@ -150,13 +150,20 @@ def make_sharded_interp_step(
         # use the fused scale+quantize+pack kernel (same bytes as
         # planar_to_frames(lanczos_scale_fast(...)), single HBM touch).
         if identity:
+            # interpolated frames still round-trip through planar; the
+            # scaled-current output is handled below as a passthrough
             pack = lambda x: planar_to_frames(x)[HALO:-HALO]
         else:
             pack = lambda x: lanczos_scale_packed(
                 x, out_hs + 2 * halo_out, out_w, cfg.lanczos_a,
                 compute_dtype=dt, interpret=interpret)[halo_out:-halo_out]
         outs = [pack(x) for x in interps]
-        outs.append(pack(c_ext))
+        if identity:
+            # byte-identical to pack(c_ext): exact UNORM8 round-trip +
+            # halo crop recovers exactly the input shard rows
+            outs.append(curr_u8)
+        else:
+            outs.append(pack(c_ext))
         return tuple(outs)
 
     shard_fn = jax.vmap(pair_fn)  # local batch axis (dp block)
