@@ -386,6 +386,46 @@ class TestMotionQuality:
         assert stats.frames_out == 1 + 4 * 2
 
 
+class TestSceneCut:
+    """--scene-cut: across a cut, in-between frames repeat the nearer
+    source instead of interpolating (the standard MEMC cut fallback)."""
+
+    def test_cut_repeats_nearer_source(self, rng):
+        cfg = _cfg(input_width=128, input_height=64, output_width=128,
+                   output_height=64, motion_mode="pyramid",
+                   fps_multiplier=4, scene_cut_threshold=0.1)
+        # unrelated random frames: mean |p-c| ~ 1/3 >> 0.1
+        prev = rng.integers(0, 256, (64, 128, 4), dtype=np.uint8)
+        curr = rng.integers(0, 256, (64, 128, 4), dtype=np.uint8)
+        outs = make_interp_step(cfg)(jnp.asarray(prev), jnp.asarray(curr))
+        # t = 1/4 -> prev; t = 1/2, 3/4 -> curr (t >= 0.5 picks curr)
+        np.testing.assert_array_equal(np.asarray(outs[0]), prev)
+        np.testing.assert_array_equal(np.asarray(outs[1]), curr)
+        np.testing.assert_array_equal(np.asarray(outs[2]), curr)
+
+    def test_continuous_content_unchanged(self, rng):
+        base = dict(input_width=128, input_height=64, output_width=256,
+                    output_height=128, motion_mode="pyramid")
+        prev = rng.integers(0, 256, (64, 128, 4), dtype=np.uint8)
+        # small shift: mean |p-c| stays well under the threshold for
+        # smooth content; use a blurred frame to keep the diff small
+        f = prev.astype(np.float32)
+        for k in (1, 2, 4):
+            f = (f + np.roll(f, k, 0) + np.roll(f, k, 1)) / 3
+        prev = f.astype(np.uint8)
+        curr = np.roll(prev, 2, axis=1)
+        a = make_interp_step(_cfg(**base))(
+            jnp.asarray(prev), jnp.asarray(curr))
+        b = make_interp_step(_cfg(**base, scene_cut_threshold=0.2))(
+            jnp.asarray(prev), jnp.asarray(curr))
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_bad_threshold_rejected(self):
+        with pytest.raises(Exception):
+            _cfg(scene_cut_threshold=1.5)
+
+
 class TestI32Wire:
     """The packed-int32 wire must be byte-identical to the uint8 wire."""
 

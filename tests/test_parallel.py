@@ -112,6 +112,29 @@ class TestShardedStep:
                 frac = (d > 0).mean()
                 assert frac < 1e-4, f"{dtype} {name} pair {bi}: {frac:.2e}"
 
+    def test_scene_cut_agrees_across_shards(self, devices, rng):
+        """The cut detector pmeans over sp, so all spatial shards take the
+        fallback together (no seams): on a cut pair every in-between frame
+        must equal the nearer source frame exactly, across all shards."""
+        from tpufg.config import EngineConfig, resolve_sizes
+
+        mesh = make_spatial_mesh(8, dp=2)
+        in_h, in_w = 4 * HALO, 128
+        cfg = resolve_sizes(EngineConfig(
+            input_width=in_w, input_height=in_h,
+            output_width=in_w, output_height=in_h,
+            dtype="bf16", motion_mode="pyramid",
+            scene_cut_threshold=0.1))
+        step = make_sharded_interp_step(mesh, cfg)
+        p = rng.integers(0, 256, (in_h, in_w, 4), dtype=np.uint8)
+        c = rng.integers(0, 256, (in_h, in_w, 4), dtype=np.uint8)
+        pb = jnp.asarray(np.stack([p, p]))
+        cb = jnp.asarray(np.stack([c, c]))
+        out_i, out_c = step(pb, cb)
+        # t = 0.5 -> nearer source is curr; identity size -> exact bytes
+        np.testing.assert_array_equal(np.asarray(out_i[0]), c)
+        np.testing.assert_array_equal(np.asarray(out_c[0]), c)
+
     def test_dp_replica_consistency(self, devices, rng):
         from tpufg.config import EngineConfig, resolve_sizes
 

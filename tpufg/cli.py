@@ -114,6 +114,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shift the blend toward the temporally closer frame "
                         "where warped sources disagree (suppresses "
                         "double-exposure ghosts at occlusions)")
+    p.add_argument("--scene-cut", type=float, default=0.0, metavar="T",
+                   help="scene-cut fallback: when mean |prev-curr| (0..1 "
+                        "units) exceeds T, in-between frames repeat the "
+                        "nearer source instead of interpolating across the "
+                        "cut (0 disables; ~0.1 is typical)")
     return p
 
 
@@ -146,6 +151,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         mv_grid=args.mv_grid,
         mv_filter=args.mv_filter,
         occlusion_blend=args.occlusion_blend,
+        scene_cut_threshold=args.scene_cut,
     )
 
     from tpufg.io.sinks import open_sink

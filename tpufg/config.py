@@ -66,6 +66,12 @@ class EngineConfig:
     # occlusion-aware blending: shift toward the temporally closer frame
     # where the warped sources disagree (suppresses double-exposure ghosts)
     occlusion_blend: bool = False
+    # scene-cut fallback: when the mean |prev-curr| (in [0,1] units) exceeds
+    # this threshold, interpolating across the discontinuity would produce
+    # a double exposure, so in-between frames repeat the temporally nearer
+    # source instead.  0 disables (the shader spec blends unconditionally,
+    # interpolate.comp:38)
+    scene_cut_threshold: float = 0.0
     # number of in-flight frame slots in the device ring
     ring_slots: int = 3
     # burn the reference-style stats line into output frames
@@ -91,6 +97,10 @@ class EngineConfig:
         if self.mv_grid not in (16, 8):
             raise ConfigError(
                 f"mv_grid must be 16 or 8, got {self.mv_grid}")
+        if not (0.0 <= self.scene_cut_threshold < 1.0):
+            raise ConfigError(
+                "scene-cut threshold must be in [0,1), got "
+                f"{self.scene_cut_threshold}")
         for name in ("input_width", "input_height", "output_width", "output_height"):
             if getattr(self, name) < 0:
                 raise ConfigError(f"{name} must be >= 0")

@@ -104,7 +104,9 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
                   interpret: bool | None = None,
                   skip_finest_refine: int = 1, mv_grid: int = MV_GRID,
                   mv_filter: bool = False,
-                  occlusion_blend: bool = False) -> list:
+                  occlusion_blend: bool = False,
+                  scene_cut_threshold: float = 0.0,
+                  scene_cut_axis: str | None = None) -> list:
     """The production interpolation core, shared by the single-chip step and
     the multi-chip sharded step (tpufg.parallel.spatial) so multi-chip runs
     the SAME math per shard.
@@ -118,9 +120,28 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
     toward interpolate.comp's per-pixel bilinear MV read
     (shaders/interpolate.comp:30-31), trading warp cost for smoother
     motion boundaries.
+
+    ``scene_cut_threshold`` > 0: when mean |p - c| exceeds it, the pair
+    straddles a cut — block matching finds no true correspondences and the
+    warp double-exposes — so each in-between frame falls back to the
+    temporally nearer source (t < 0.5 -> prev, else curr; the standard
+    MEMC cut fallback).  ``scene_cut_axis``: mesh axis name to pmean the
+    detector over so spatial shards agree on the decision (no seams).
     """
     _, h, w = p.shape
     interps = []
+    cut = None
+    if scene_cut_threshold > 0.0 and mode != "none":
+        d = jnp.mean(jnp.abs(p.astype(F32) - c.astype(F32)))
+        if scene_cut_axis is not None:
+            d = jax.lax.pmean(d, scene_cut_axis)
+        cut = d > F32(scene_cut_threshold)
+
+    def cut_fallback(warped, tf):
+        if cut is None:
+            return warped
+        src = p.astype(F32) if tf < 0.5 else c.astype(F32)
+        return jnp.where(cut, src, warped)
     if mode == "none":
         for tf in factors:
             interps.append(p.astype(F32) * F32(1.0 - tf)
@@ -134,8 +155,9 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
         pp = _edge_pad_chw(p.astype(F32), hp, wp)
         cp = _edge_pad_chw(c.astype(F32), hp, wp)
         for tf in factors:
-            interps.append(
-                rife.interpolate_fast(model_params, pp, cp, tf)[:, :h, :w])
+            interps.append(cut_fallback(
+                rife.interpolate_fast(model_params, pp, cp, tf)[:, :h, :w],
+                tf))
         return interps
     # pad to the motion/warp lattice (pyramid needs grid*2^(L-1))
     mult = MV_GRID * 2 ** (PYR_LEVELS - 1)
@@ -169,7 +191,7 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
                                    block=mv_grid,
                                    search_radius=max(search_radius, 8),
                                    dtype=dt, occlusion=occlusion_blend)
-        interps.append(warped[:, :h, :w])
+        interps.append(cut_fallback(warped[:, :h, :w], tf))
     return interps
 
 
@@ -247,7 +269,8 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
                                 model_params=model_params,
                                 mv_grid=cfg.mv_grid,
                                 mv_filter=cfg.mv_filter,
-                                occlusion_blend=cfg.occlusion_blend)
+                                occlusion_blend=cfg.occlusion_blend,
+                                scene_cut_threshold=cfg.scene_cut_threshold)
         # separate scale calls per output (a stacked-channel single call
         # measured ~1.3 ms slower: the concat materializes both frames)
         if (out_h, out_w) == (h, w):

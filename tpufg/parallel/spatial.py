@@ -144,7 +144,15 @@ def make_sharded_interp_step(
             p_ext, c_ext, mode=mode, factors=factors, dt=dt,
             block_size=cfg.block_size, search_radius=cfg.search_radius,
             interpret=interpret, mv_grid=cfg.mv_grid,
-            mv_filter=cfg.mv_filter, occlusion_blend=cfg.occlusion_blend)
+            mv_filter=cfg.mv_filter, occlusion_blend=cfg.occlusion_blend,
+            # pmean over sp: all spatial shards must agree on the cut
+            # decision or the fallback would seam at shard boundaries
+            # (the mean includes each shard's replicated halo rows — a
+            # fixed border effect identical across configs, and cuts are
+            # decided by order-of-magnitude margins, so the detector's
+            # threshold semantics are unchanged)
+            scene_cut_threshold=cfg.scene_cut_threshold,
+            scene_cut_axis="sp" if cfg.scene_cut_threshold > 0 else None)
         # scale WITH the halo present (interior Lanczos taps see real
         # neighbor rows), then crop the scaled halo.  Non-identity sizes
         # use the fused scale+quantize+pack kernel (same bytes as
