@@ -426,6 +426,96 @@ class TestSceneCut:
             _cfg(scene_cut_threshold=1.5)
 
 
+class TestTemporalMV:
+    """--temporal-mv: the previous pair's MV field seeds the next search,
+    so sustained motion beyond the per-pair pyramid reach (~±22 px) locks
+    in after the first pairs (codec-style temporal predictor)."""
+
+    def _pan_frames(self, rng, h, w, v, n):
+        base = rng.random((h + 16, w + v * (n + 1) + 16, 4))
+        base = base.astype(np.float32)
+        for k in (1, 2, 4):
+            base = (base + np.roll(base, k, 0) + np.roll(base, k, 1)) / 3
+        base = (base * 255).astype(np.uint8)
+        return [np.ascontiguousarray(base[8:8 + h, 8 + v * i:8 + v * i + w])
+                for i in range(n + 1)]
+
+    def test_fast_pan_locks_on(self, rng):
+        from tpufg.engine.pipeline import mv_lattice_shape
+        from tpufg.utils.quality import psnr
+
+        h, w, v = 64, 256, 28  # 28 px/frame: beyond the per-pair reach
+        frames = self._pan_frames(rng, h, w, v, 5)
+        cfg_t = _cfg(input_width=w, input_height=h, output_width=w,
+                     output_height=h, motion_mode="pyramid",
+                     temporal_mv=True)
+        cfg_0 = _cfg(input_width=w, input_height=h, output_width=w,
+                     output_height=h, motion_mode="pyramid")
+        step_t = make_interp_step(cfg_t)
+        step_0 = make_interp_step(cfg_0)
+        mv = jnp.zeros(mv_lattice_shape(cfg_t), jnp.float32)
+        inner = (slice(8, -8), slice(3 * v, -3 * v))
+        p_t = p_0 = None
+        for i in range(5):
+            # fresh device arrays per call: the equal-size steps donate
+            # their prev argument
+            *outs_t, mv = step_t(jnp.asarray(frames[i]),
+                                 jnp.asarray(frames[i + 1]), mv)
+            outs_0 = step_0(jnp.asarray(frames[i]),
+                            jnp.asarray(frames[i + 1]))
+            # analytic mid-frame: frames[i] shifted by v/2 (v even -> exact)
+            mid = np.roll(frames[i], -v // 2, axis=1).astype(np.float64)
+            p_t = psnr(mid[inner] / 255,
+                       np.asarray(outs_t[0]).astype(np.float64)[inner] / 255)
+            p_0 = psnr(mid[inner] / 255,
+                       np.asarray(outs_0[0]).astype(np.float64)[inner] / 255)
+        # after 5 pairs the temporal tracker must be locked on (the
+        # per-pair search cannot reach 28 px): large margin over baseline
+        assert p_t > p_0 + 6, (p_t, p_0)
+        # and the threaded MV field must have converged to the true motion
+        # magnitude (sign convention pinned by the reconstruction check)
+        mv_np = np.asarray(mv)
+        interior_mv = mv_np[0, 1:-1, 6:-6]
+        assert np.abs(np.abs(interior_mv) - v).mean() < 2.0, (
+            interior_mv.mean())
+
+    def test_cut_resets_predictor(self, rng):
+        from tpufg.engine.pipeline import mv_lattice_shape
+
+        h, w, v = 64, 256, 20
+        frames = self._pan_frames(rng, h, w, v, 3)
+        cfg = _cfg(input_width=w, input_height=h, output_width=w,
+                   output_height=h, motion_mode="pyramid",
+                   temporal_mv=True, scene_cut_threshold=0.1)
+        step = make_interp_step(cfg)
+        mv = jnp.zeros(mv_lattice_shape(cfg), jnp.float32)
+        for i in range(3):
+            *_, mv = step(jnp.asarray(frames[i]),
+                          jnp.asarray(frames[i + 1]), mv)
+        assert float(jnp.abs(mv).max()) > 0  # locked on the pan
+        cut_frame = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        *_, mv = step(jnp.asarray(frames[3]), jnp.asarray(cut_frame), mv)
+        assert float(jnp.abs(mv).max()) == 0.0  # predictor reset
+
+    def test_temporal_requires_pyramid(self):
+        with pytest.raises(Exception):
+            _cfg(motion_mode="exhaustive", temporal_mv=True)
+
+    def test_sharded_rejects_temporal(self, rng):
+        import jax
+
+        from tpufg.config import ConfigError
+        from tpufg.parallel.spatial import (make_sharded_interp_step,
+                                            make_spatial_mesh)
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        cfg = _cfg(input_width=128, input_height=256,
+                   output_width=128, output_height=256,
+                   motion_mode="pyramid", temporal_mv=True)
+        with pytest.raises(ConfigError):
+            make_sharded_interp_step(make_spatial_mesh(8, dp=2), cfg)
+
+
 class TestI32Wire:
     """The packed-int32 wire must be byte-identical to the uint8 wire."""
 

@@ -1,0 +1,115 @@
+"""Throughput matrix over all five BASELINE.json configs on the real chip.
+
+bench.py reports the north-star headline (config 4); this dev tool times
+every BASELINE config the same way (N steps enqueued back-to-back, one
+one-element-fetch sync) and prints a markdown table for docs/DESIGN.md.
+
+    python tools/bench_matrix.py [-n 30]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_config(tag, cfg_kw, n, steps_kind, model_params=None):
+    import jax
+    import jax.numpy as jnp
+
+    from tpufg.config import EngineConfig, resolve_sizes
+    from tpufg.engine.pipeline import make_interp_step, make_scale_step
+
+    cfg = resolve_sizes(EngineConfig(**cfg_kw))
+    in_h, in_w = cfg.input_height, cfg.input_width
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, (in_h + 32, in_w + 32, 4), dtype=np.uint8)
+
+    def as_i32(x):
+        return jnp.asarray(
+            np.ascontiguousarray(x).view(np.int32).reshape(x.shape[:2]))
+
+    identity = (cfg.output_height, cfg.output_width) == (in_h, in_w)
+    n_pairs = (n + 4) if identity else 4  # donation engages at equal size
+    pairs = []
+    for i in range(n_pairs):
+        j = i % 16
+        pairs.append((as_i32(base[j:in_h + j, 2 * j:in_w + 2 * j]),
+                      as_i32(base[j + 1:in_h + 1 + j,
+                                  2 * j + 2:in_w + 2 + 2 * j])))
+    import itertools
+    seq = iter(pairs) if identity else itertools.cycle(pairs)
+
+    if steps_kind == "scale":
+        step1 = make_scale_step(cfg, wire="i32")
+        step = lambda p, c: (step1(c),)
+        outs_per_step = 1
+    else:
+        step = make_interp_step(cfg, wire="i32",
+                                model_params=model_params)
+        outs_per_step = max(2, int(cfg.fps_multiplier))
+
+    def sync(o):
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        _ = np.asarray(leaf[tuple(slice(0, 1) for _ in leaf.shape)])
+
+    out = step(*next(seq))
+    sync(out)
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(n):
+        last = step(*next(seq))
+    sync(last)
+    dt = time.perf_counter() - t0
+    ms = dt / n * 1e3
+    fps = outs_per_step * n / dt
+    print(f"| {tag} | {ms:.2f} | {fps:.0f} |", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-n", type=int, default=30)
+    args = ap.parse_args()
+    print("| BASELINE config | ms/step | output fps/chip |")
+    print("|---|---|---|")
+    run_config("1: 720p→1440p Lanczos only (scale.comp)",
+               dict(input_width=1280, input_height=720, output_width=2560,
+                    output_height=1440, dtype="bf16", motion_mode="none",
+                    enable_interpolation=False), args.n, "scale")
+    run_config("2: 1080p crossfade t=0.5 (interpolate.comp, no motion)",
+               dict(input_width=1920, input_height=1080, output_width=1920,
+                    output_height=1080, dtype="bf16", motion_mode="none"),
+               args.n, "interp")
+    run_config("3: 1080p exhaustive motion + warp (motion.comp params)",
+               dict(input_width=1920, input_height=1080, output_width=1920,
+                    output_height=1080, dtype="bf16",
+                    motion_mode="exhaustive"), max(6, args.n // 4), "interp")
+    run_config("4: 1080p→4K pyramid+warp+scale (north star)",
+               dict(input_width=1920, input_height=1080, output_width=3840,
+                    output_height=2160, dtype="bf16", motion_mode="pyramid"),
+               args.n, "interp")
+    run_config("5a: 4K→4K 60→120 fps pyramid",
+               dict(input_width=3840, input_height=2160, output_width=3840,
+                    output_height=2160, dtype="bf16", motion_mode="pyramid"),
+               max(8, args.n // 3), "interp")
+    # 5b: learned head needs trained params; train a tiny head on the fly
+    try:
+        import jax
+
+        from tpufg.models import rife
+        params = rife.init_params(jax.random.PRNGKey(0), hidden=32)
+        run_config("5b: 4K→4K learned head (untrained weights, timing only)",
+                   dict(input_width=3840, input_height=2160,
+                        output_width=3840, output_height=2160, dtype="bf16",
+                        motion_mode="learned"),
+                   max(8, args.n // 3), "interp", model_params=params)
+    except Exception as e:  # keep the matrix usable if the head API moves
+        print(f"| 5b: learned head | skipped ({type(e).__name__}) | — |")
+
+
+if __name__ == "__main__":
+    main()

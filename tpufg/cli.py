@@ -119,6 +119,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "units) exceeds T, in-between frames repeat the "
                         "nearer source instead of interpolating across the "
                         "cut (0 disables; ~0.1 is typical)")
+    p.add_argument("--temporal-mv", action="store_true",
+                   help="seed each pair's motion search with the previous "
+                        "pair's MV field (codec-style temporal predictor): "
+                        "tracks sustained motion far beyond the per-pair "
+                        "search range, at wider-warp cost (pyramid mode, "
+                        "single-chip streaming)")
     return p
 
 
@@ -152,6 +158,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         mv_filter=args.mv_filter,
         occlusion_blend=args.occlusion_blend,
         scene_cut_threshold=args.scene_cut,
+        temporal_mv=args.temporal_mv,
     )
 
     from tpufg.io.sinks import open_sink

@@ -72,6 +72,12 @@ class EngineConfig:
     # source instead.  0 disables (the shader spec blends unconditionally,
     # interpolate.comp:38)
     scene_cut_threshold: float = 0.0
+    # temporal MV prediction: seed each pair's pyramid search with the
+    # previous pair's MV field (classic codec temporal predictor) — the
+    # tracker locks onto sustained motion far beyond the per-pair search
+    # reach (models/pyramid.py TEMPORAL_CLAMP).  Streaming single-chip
+    # pyramid mode only; costs warp range (wider halos).
+    temporal_mv: bool = False
     # number of in-flight frame slots in the device ring
     ring_slots: int = 3
     # burn the reference-style stats line into output frames
@@ -101,6 +107,10 @@ class EngineConfig:
             raise ConfigError(
                 "scene-cut threshold must be in [0,1), got "
                 f"{self.scene_cut_threshold}")
+        if self.temporal_mv and self.motion_mode != "pyramid":
+            raise ConfigError(
+                "--temporal-mv requires motion_mode='pyramid' "
+                f"(got {self.motion_mode!r})")
         for name in ("input_width", "input_height", "output_width", "output_height"):
             if getattr(self, name) < 0:
                 raise ConfigError(f"{name} must be >= 0")

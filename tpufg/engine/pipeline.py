@@ -106,7 +106,8 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
                   mv_filter: bool = False,
                   occlusion_blend: bool = False,
                   scene_cut_threshold: float = 0.0,
-                  scene_cut_axis: str | None = None) -> list:
+                  scene_cut_axis: str | None = None,
+                  mv_seed=None, return_mv: bool = False):
     """The production interpolation core, shared by the single-chip step and
     the multi-chip sharded step (tpufg.parallel.spatial) so multi-chip runs
     the SAME math per shard.
@@ -127,6 +128,12 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
     temporally nearer source (t < 0.5 -> prev, else curr; the standard
     MEMC cut fallback).  ``scene_cut_axis``: mesh axis name to pmean the
     detector over so spatial shards agree on the decision (no seams).
+
+    ``mv_seed``: temporal predictor MV field on the PADDED lattice
+    [2, Hp/16, Wp/16] (pyramid mode; see pyramid_motion_search).  With
+    ``return_mv`` the return value is ``(interps, mv_out)`` where mv_out
+    is the estimated field to seed the next pair (zeroed on a scene cut —
+    the predictor must not leak across a discontinuity).
     """
     _, h, w = p.shape
     interps = []
@@ -170,7 +177,8 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
         mv = pyramid_motion_search(
             pp, cp, levels=PYR_LEVELS, base_radius=4,
             refine_radius=2, block_size=block_size, grid=MV_GRID,
-            skip_finest_refine=skip_finest_refine, interpret=interpret)
+            skip_finest_refine=skip_finest_refine, interpret=interpret,
+            seed=mv_seed)
     else:  # exhaustive parity kernel, subsampled to the MV lattice
         mv_px = motion_search_tiled(pp, cp, block_size=block_size,
                                     search_radius=search_radius,
@@ -179,6 +187,13 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
     if mv_filter:
         from tpufg.models.pyramid import median_filter_mv
         mv = median_filter_mv(mv)
+    mv_out = None
+    if return_mv:
+        # next pair's predictor; a cut resets it (no leak across the
+        # discontinuity — constant-velocity assumption is void there)
+        mv_out = mv
+        if cut is not None:
+            mv_out = jnp.where(cut, jnp.zeros_like(mv), mv)
     if mv_grid != MV_GRID:
         # bilinear MV-field upsample to the finer lattice: both lattices
         # have half-cell-centered sites, exactly jax.image.resize's
@@ -186,12 +201,20 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
         f = MV_GRID // mv_grid
         mv = jax.image.resize(
             mv, (2, mv.shape[1] * f, mv.shape[2] * f), method="linear")
+    # the warp clamps MVs to its static reach: the pyramid's own bound by
+    # default, extended to the temporal clamp + pyramid reach when seeded
+    r_warp = max(search_radius, 8)
+    if mv_seed is not None:
+        from tpufg.models.pyramid import TEMPORAL_CLAMP
+        r_warp = max(r_warp, TEMPORAL_CLAMP + 24)
     for tf in factors:  # one MV field shared by all time points
         warped = warp_blend_matmul(pp, cp, -mv, factor=tf,
                                    block=mv_grid,
-                                   search_radius=max(search_radius, 8),
+                                   search_radius=r_warp,
                                    dtype=dt, occlusion=occlusion_blend)
         interps.append(cut_fallback(warped[:, :h, :w], tf))
+    if return_mv:
+        return interps, mv_out
     return interps
 
 
@@ -232,11 +255,15 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
     # Donating prev only pays when an output buffer can actually alias it:
     # the equal-size fps-multiply config (uint8 [H,W,4] in and out).  For
     # scaling configs no output matches the input shape and XLA would just
-    # warn "Some donated buffers were not usable" every run.
+    # warn "Some donated buffers were not usable" every run.  A temporal
+    # step also donates the consumed MV seed (mv_out aliases it exactly).
     donate = ((out_h, out_w) == (cfg.input_height, cfg.input_width)
               and cfg.input_height > 0)
-    jit_step = (functools.partial(jax.jit, donate_argnums=(0,)) if donate
-                else jax.jit)
+    temporal = (bool(cfg.temporal_mv) and mode == "pyramid"
+                and precision != "exact")
+    donate_idx = ((0,) if donate else ()) + ((2,) if temporal else ())
+    jit_step = (functools.partial(jax.jit, donate_argnums=donate_idx)
+                if donate_idx else jax.jit)
 
     if precision == "exact":
         @jit_step
@@ -258,19 +285,20 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
 
         return step
 
-    @jit_step
-    def step(prev_u8, curr_u8):
+    def body(prev_u8, curr_u8, mv_seed=None):
         # f32 storage end to end; dt picks matmul operand precision only
         p = frames_to_planar(prev_u8, F32)
         c = frames_to_planar(curr_u8, F32)
         _, h, w = p.shape
-        interps = interp_planar(p, c, mode=mode, factors=factors, dt=dt,
-                                block_size=b, search_radius=r,
-                                model_params=model_params,
-                                mv_grid=cfg.mv_grid,
-                                mv_filter=cfg.mv_filter,
-                                occlusion_blend=cfg.occlusion_blend,
-                                scene_cut_threshold=cfg.scene_cut_threshold)
+        res = interp_planar(p, c, mode=mode, factors=factors, dt=dt,
+                            block_size=b, search_radius=r,
+                            model_params=model_params,
+                            mv_grid=cfg.mv_grid,
+                            mv_filter=cfg.mv_filter,
+                            occlusion_blend=cfg.occlusion_blend,
+                            scene_cut_threshold=cfg.scene_cut_threshold,
+                            mv_seed=mv_seed, return_mv=temporal)
+        interps, mv_out = res if temporal else (res, None)
         # separate scale calls per output (a stacked-channel single call
         # measured ~1.3 ms slower: the concat materializes both frames)
         if (out_h, out_w) == (h, w):
@@ -291,6 +319,29 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
             outs.append(curr_u8)
         else:
             outs.append(pack(c))
+        if temporal:
+            return tuple(outs) + (mv_out,)
         return tuple(outs)
 
+    if temporal:
+        @jit_step
+        def step(prev_u8, curr_u8, mv_seed):
+            # (..., mv_seed) -> (*frames, mv_out): thread the MV field
+            # between pairs (runner keeps it on-device; zeros to start)
+            return body(prev_u8, curr_u8, mv_seed)
+    else:
+        @jit_step
+        def step(prev_u8, curr_u8):
+            return body(prev_u8, curr_u8)
+
     return step
+
+
+def mv_lattice_shape(cfg: EngineConfig) -> tuple[int, int, int]:
+    """Shape of the temporal MV state threaded through a temporal step:
+    the padded-frame block lattice [2, Hp/16, Wp/16] (interp_planar pads
+    to the pyramid's grid*2^(L-1) lattice before estimating)."""
+    mult = MV_GRID * 2 ** (PYR_LEVELS - 1)
+    hp = round_up(cfg.input_height, mult)
+    wp = round_up(cfg.input_width, mult)
+    return (2, hp // MV_GRID, wp // MV_GRID)

@@ -108,6 +108,18 @@ class StreamingEngine:
         prev_dev = None
         pending = []  # device arrays whose host copy we delay one frame
 
+        temporal = (cfg.temporal_mv and cfg.enable_interpolation
+                    and cfg.motion_mode == "pyramid"
+                    and self.precision != "exact")
+        mv_state = None
+        if temporal:
+            import jax
+            import jax.numpy as jnp
+
+            from tpufg.engine.pipeline import mv_lattice_shape
+            mv_state = jax.device_put(
+                jnp.zeros(mv_lattice_shape(cfg), jnp.float32))
+
         needs_host = getattr(sink, "needs_host", True)
 
         def as_u8(a: np.ndarray) -> np.ndarray:
@@ -151,7 +163,14 @@ class StreamingEngine:
             from tpufg.utils.tracing import annotate
             with annotate("tpufg.step"):
                 if cfg.enable_interpolation and prev_dev is not None:
-                    outs = list(self._step2(prev_dev, dev))
+                    if temporal:
+                        # thread the MV predictor between pairs on-device
+                        # (the step donates and re-emits it; never copied
+                        # to the host)
+                        *outs, mv_state = self._step2(
+                            prev_dev, dev, mv_state)
+                    else:
+                        outs = list(self._step2(prev_dev, dev))
                 else:
                     outs = [self._step1(dev)]
             # one-slot pipeline: write last frame's results while this

@@ -35,6 +35,14 @@ from tpufg.kernels.warp_matmul import warp_blend_matmul
 
 F32 = jnp.float32
 
+# max |temporal seed| in full-resolution pixels: bounds the seeded coarse
+# warp's static halo (48/4 = 12 coarse px at the default 3 levels) and the
+# production warp's range when --temporal-mv is on.  Measured cost of the
+# wider warp at 1080p->4K: clamp 64 -> 17.1 ms/pair, 48 -> 13.6 (vs 5.6
+# without temporal); 48 balances tracking range (~±70 px/frame total
+# incl. the pyramid's own reach) against the one-hot/halo growth.
+TEMPORAL_CLAMP = 48
+
 
 def _lattice_ok(radius: int, block: int, grid: int) -> bool:
     """Lattice fast path applies when candidate windows stay in-cell."""
@@ -85,6 +93,7 @@ def pyramid_motion_search(
     grid: int = 16,
     interpret: bool | None = None,
     skip_finest_refine: int = 0,
+    seed: jax.Array | None = None,
 ) -> jax.Array:
     """Coarse-to-fine block-matching motion estimation.
 
@@ -96,6 +105,14 @@ def pyramid_motion_search(
     search is skipped (MVs upsampled instead) — the streaming engine's
     latency mode uses 1 (full-res refinement is the single most expensive
     stage; MV granularity effectively halves, like half-pel codec search).
+
+    ``seed``: optional temporal predictor — a full-resolution-lattice MV
+    field [2, H/grid, W/grid] (e.g. the previous pair's result).  The
+    coarsest level then warps by the downscaled seed and searches only the
+    RESIDUAL, so total displacement is bounded by |seed| + the pyramid's
+    own reach rather than the pyramid's reach alone — the classic codec
+    temporal predictor, which lets the tracker lock onto motion faster
+    than the per-pair search range.
     """
     c, h, w = prev.shape
     scale = grid * 2 ** (levels - 1)
@@ -115,6 +132,19 @@ def pyramid_motion_search(
     # per-pixel kernel, bitwise the same field); the per-pixel tiled
     # kernel is the fallback for radii whose windows leave the grid cell.
     p0, q0 = pyr[-1]
+    seed_c = None
+    if seed is not None:
+        # full-res lattice -> coarse lattice: mean over 2^(L-1)-cell
+        # groups (smooth), values scaled to coarse-level pixel units and
+        # clamped to the warp's static reach (TEMPORAL_CLAMP full-res px)
+        f = 2 ** (levels - 1)
+        hb, wb = seed.shape[1] // f, seed.shape[2] // f
+        r_c = max(TEMPORAL_CLAMP // f, 1)
+        seed_c = jnp.clip(
+            seed.astype(F32).reshape(2, hb, f, wb, f).mean((2, 4)) / F32(f),
+            -r_c, r_c)
+        p0 = warp_blend_matmul(p0, p0, seed_c, block=grid,
+                               search_radius=r_c, single=True)
     if _lattice_ok(base_radius, block_size, grid):
         mv = motion_search_lattice(
             p0, q0, grid=grid, block_size=block_size,
@@ -127,6 +157,13 @@ def pyramid_motion_search(
             exact_box=False, interpret=interpret, tile_h=64, tile_w=256,
         )
         mv = _block_subsample(mv_px, grid)
+    if seed_c is not None:
+        mv = mv + seed_c  # residual + predictor, both in coarse-level px
+
+    if seed is not None and skip_finest_refine < 1 and levels >= 3:
+        raise ValueError(
+            "temporal seeding with a full-resolution refine exceeds the "
+            "warp's static halo range; use skip_finest_refine >= 1")
 
     for lvl in range(levels - 2, -1, -1):
         p_l, q_l = pyr[lvl]
@@ -136,6 +173,10 @@ def pyramid_motion_search(
             continue
         max_disp = base_radius * 2 ** (levels - 1 - lvl) + \
             sum(refine_radius * 2 ** k for k in range(levels - 1 - lvl))
+        if seed is not None:
+            # seeded MVs carry up to TEMPORAL_CLAMP full-res px on top of
+            # the pyramid's own reach (level-lvl pixel units here)
+            max_disp += TEMPORAL_CLAMP // 2 ** lvl
         # warp prev by the current estimate, then search the residual
         warped = warp_blend_matmul(
             p_l, p_l, mv, block=grid, search_radius=max(int(max_disp), 1),

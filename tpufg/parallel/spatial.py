@@ -111,6 +111,11 @@ def make_sharded_interp_step(
             "sharded step does not support motion_mode='learned' "
             "(the conv head needs its own halo plan); use dp-only training "
             "shardings in tpufg.models.rife")
+    if cfg.temporal_mv:
+        raise ConfigError(
+            "--temporal-mv is a single-chip streaming feature (the MV "
+            "predictor is per-stream state; the offline sharded transcode "
+            "batches independent pairs)")
     t = cfg.interpolation_factor
     k = max(2, int(cfg.fps_multiplier))
     factors = [t] if k == 2 else [i / float(k) for i in range(1, k)]
