@@ -37,7 +37,9 @@ def motion_search_xla(
     ``metric``: "euclidean" is the shader's per-pixel RGBA distance
     (motion.comp:45 — sqrt per pixel); "ssd" drops the sqrt (sum of
     squared differences) — the standard codec cost, cheaper, usually an
-    equally good or better argmin.  The production pyramid uses ssd.
+    equally good or better argmin.  The production pyramid uses the
+    euclidean lattice search (motion_search_lattice) for shader-metric
+    consistency; "ssd" is available for experiments.
     """
     n_ch, h, w = prev.shape
     b = int(block_size)

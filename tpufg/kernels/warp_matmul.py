@@ -120,16 +120,20 @@ def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
     # 8k tiny [16,64]@[64,64] instances starve the MXU).  Runs in the
     # compute dtype: with centered operands bf16 costs <= 1/2^10 here, and
     # the f32 variant measured 8 ms slower (fusion degrades).
+    # accumulate in the compute dtype: exactly ONE delta fires per element
+    # (iy0 is a single integer in [-max_off, max_off]), so the "sum" is a
+    # select chain — bf16 accumulation is exact (terms are already
+    # bf16-rounded) and drops a per-delta convert
     iy0c = jnp.repeat(iy0, g, axis=1)[None, :, None, :]   # [1,n_by,1,W]
     fyc = jnp.repeat(fy, g, axis=1)[None, :, None, :].astype(dtype)
-    out = jnp.zeros((c, n_by, g, w), F32)
+    out = jnp.zeros((c, n_by, g, w), dtype)
     for delta in range(-max_off, max_off + 1):
         m = (iy0c == delta)
         rows0 = hx[:, :, halo_v + delta: halo_v + delta + g, :]
         rows1 = hx[:, :, halo_v + delta + 1: halo_v + delta + g + 1, :]
         lerped = rows0 * (one - fyc) + rows1 * fyc
-        out = out + jnp.where(m, lerped.astype(F32), F32(0.0))
-    return out.reshape(c, h, w)
+        out = out + jnp.where(m, lerped, zero)
+    return out.reshape(c, h, w).astype(F32)
 
 
 @functools.partial(
