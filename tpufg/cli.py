@@ -18,6 +18,7 @@ constants exposed (--lanczos-a, --block-size, --search-radius).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import Optional
 
@@ -199,13 +200,21 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     model_params = None
     if args.motion_mode == "learned":
-        if not args.model_path:
-            log.error("--motion-mode learned requires --model-path")
-            sink.close()
-            source.close()
-            return 1
+        path = args.model_path
+        if not path:
+            # fall back to the checkpoint shipped with the repo
+            bundled = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "checkpoints", "head64.npz")
+            if os.path.exists(bundled):
+                path = bundled
+                log.info(f"--model-path not given; using bundled {path}")
+            else:
+                log.error("--motion-mode learned requires --model-path")
+                sink.close()
+                source.close()
+                return 1
         from tpufg.models import rife
-        model_params = rife.load_params(args.model_path)
+        model_params = rife.load_params(path)
 
     from tpufg.utils.tracing import debug_checks, trace_session
 
@@ -232,7 +241,10 @@ def main(argv: Optional[list[str]] = None) -> int:
     except KeyboardInterrupt:
         log.info("Interrupted, cleaning up...")
         return 130
-    except (ConfigError, ValueError) as e:
+    except (ConfigError, ValueError, RuntimeError) as e:
+        # RuntimeError covers backend/XLA failures — the analog of the
+        # reference's top-level catch(std::exception) (main.cpp:131-134):
+        # log and exit cleanly instead of tracebacking
         log.error(str(e))
         return 1
     finally:
