@@ -425,6 +425,17 @@ class TestSceneCut:
         with pytest.raises(Exception):
             _cfg(scene_cut_threshold=1.5)
 
+    def test_cut_fallback_in_crossfade_mode(self, rng):
+        """mode='none' honors --scene-cut too: a crossfade across a shot
+        change is exactly the double exposure the flag suppresses."""
+        cfg = _cfg(input_width=128, input_height=64, output_width=128,
+                   output_height=64, motion_mode="none",
+                   scene_cut_threshold=0.1)
+        prev = rng.integers(0, 256, (64, 128, 4), dtype=np.uint8)
+        curr = rng.integers(0, 256, (64, 128, 4), dtype=np.uint8)
+        outs = make_interp_step(cfg)(jnp.asarray(prev), jnp.asarray(curr))
+        np.testing.assert_array_equal(np.asarray(outs[0]), curr)  # t=0.5
+
 
 class TestTemporalMV:
     """--temporal-mv: the previous pair's MV field seeds the next search,
@@ -500,6 +511,21 @@ class TestTemporalMV:
     def test_temporal_requires_pyramid(self):
         with pytest.raises(Exception):
             _cfg(motion_mode="exhaustive", temporal_mv=True)
+
+    def test_temporal_range_limits_rejected(self):
+        """The widened temporal warp reach caps the blend weight: k > 4 or
+        extreme interpolation factors must be rejected at config time (not
+        as a kernel-internal trace error)."""
+        from tpufg.config import ConfigError
+        with pytest.raises(ConfigError):
+            _cfg(motion_mode="pyramid", temporal_mv=True, fps_multiplier=5)
+        with pytest.raises(ConfigError):
+            _cfg(motion_mode="pyramid", temporal_mv=True,
+                 interpolation_factor=0.9)
+        # boundary cases stay valid
+        _cfg(motion_mode="pyramid", temporal_mv=True, fps_multiplier=4)
+        _cfg(motion_mode="pyramid", temporal_mv=True,
+             interpolation_factor=0.75)
 
     def test_sharded_rejects_temporal(self, rng):
         import jax

@@ -213,6 +213,22 @@ class TestShardedCLI:
         fb = 400 * 256 * 4
         assert data.size == fb * (1 + 3 * 2)
 
+    def test_overlay_applies_on_sharded_path(self, devices, tmp_path):
+        """--overlay must not be silently dropped by --devices (the
+        sharded emit burns the same stats line as the single-chip path)."""
+        plain = self._run(tmp_path, ["--devices", "8", "--dp", "2"],
+                          frames=3)
+        overlaid = self._run(tmp_path, ["--devices", "8", "--dp", "2",
+                                        "--overlay"], frames=3)
+        assert plain.size == overlaid.size
+        assert not np.array_equal(plain, overlaid)
+        # the stats text is white-on-frame at (10,10): overlaid frames
+        # must contain pure-white pixels in that band
+        fb = 512 * 256 * 4
+        f0 = overlaid[:fb].reshape(512, 256, 4)
+        band = f0[8:24, 8:200, :3]
+        assert (band == 255).all(axis=-1).any()
+
     def test_too_many_devices_rejected(self, devices, tmp_path):
         from tpufg.cli import main
         rc = main(["synthetic:128x256", "--devices", "999",

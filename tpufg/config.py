@@ -111,6 +111,21 @@ class EngineConfig:
             raise ConfigError(
                 "--temporal-mv requires motion_mode='pyramid' "
                 f"(got {self.motion_mode!r})")
+        if self.temporal_mv:
+            # the widened temporal warp reach (TEMPORAL_CLAMP + pyramid
+            # reach = 72 px) times the largest per-frame blend weight must
+            # stay within the warp kernel's halo ceiling (eff_r <= 54,
+            # 256-col window) — see kernels/warp_matmul.py
+            mx = ((self.fps_multiplier - 1) / self.fps_multiplier
+                  if self.fps_multiplier > 2
+                  else max(self.interpolation_factor,
+                           1.0 - self.interpolation_factor))
+            if mx > 0.75:
+                raise ConfigError(
+                    "--temporal-mv supports fps multipliers up to 4 and "
+                    "interpolation factors in [0.25, 0.75]: beyond that "
+                    "the widened temporal warp reach exceeds the warp "
+                    "kernel's window")
         for name in ("input_width", "input_height", "output_width", "output_height"):
             if getattr(self, name) < 0:
                 raise ConfigError(f"{name} must be >= 0")

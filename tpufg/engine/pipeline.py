@@ -138,7 +138,7 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
     _, h, w = p.shape
     interps = []
     cut = None
-    if scene_cut_threshold > 0.0 and mode != "none":
+    if scene_cut_threshold > 0.0:
         d = jnp.mean(jnp.abs(p.astype(F32) - c.astype(F32)))
         if scene_cut_axis is not None:
             d = jax.lax.pmean(d, scene_cut_axis)
@@ -150,9 +150,12 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
         src = p.astype(F32) if tf < 0.5 else c.astype(F32)
         return jnp.where(cut, src, warped)
     if mode == "none":
+        # the cut fallback applies here too: a crossfade across a shot
+        # change is the double exposure the flag promises to suppress
         for tf in factors:
-            interps.append(p.astype(F32) * F32(1.0 - tf)
-                           + c.astype(F32) * F32(tf))
+            interps.append(cut_fallback(
+                p.astype(F32) * F32(1.0 - tf) + c.astype(F32) * F32(tf),
+                tf))
         return interps
     if mode == "learned":
         # config 5: RIFE-style head predicts the in-between frames

@@ -283,7 +283,16 @@ def run_sharded_stream(cfg: EngineConfig, source: FrameSource,
             return f
         return np.pad(f, ((0, h_pad - in_h), (0, 0), (0, 0)), mode="edge")
 
+    fps_win = FpsWindow(cfg.fps_window)
+
     def emit(arr: np.ndarray) -> None:
+        if cfg.overlay:
+            # same stats burn-in as the single-chip path (flush_pending)
+            from tpufg.engine.overlay import draw_stats
+            arr = draw_stats(
+                np.array(arr), fps_win.fps,
+                (cfg.input_width, cfg.input_height),
+                (cfg.output_width, cfg.output_height))
         sink.write(arr)
         stats.frames_out += 1
 
@@ -308,6 +317,7 @@ def run_sharded_stream(cfg: EngineConfig, source: FrameSource,
         frame = (np.array(frame) if zero_copy
                  else np.ascontiguousarray(frame))
         stats.frames_in += 1
+        fps_win.tick()
         if not cfg.enable_interpolation:
             # scale-only transcode: no cross-frame dependence to shard
             emit(np.asarray(scale0(jnp.asarray(frame))))

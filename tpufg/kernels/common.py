@@ -29,6 +29,18 @@ def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def pick_tile(n: int, mult: int, cap: int) -> int:
+    """Largest tile <= cap that is a multiple of ``mult`` and divides
+    ``n`` — a zero-padding grid plan (no crop copy, no cdiv padding
+    waste); falls back to the capped round-up when no divisor fits."""
+    t = (cap // mult) * mult
+    while t >= mult:
+        if n % t == 0:
+            return t
+        t -= mult
+    return min(cap, round_up(n, mult))
+
+
 def use_interpret() -> bool:
     """Run Pallas in interpret mode unless on a real TPU backend.
 

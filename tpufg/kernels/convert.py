@@ -78,8 +78,9 @@ def frames_to_planar(frames: jax.Array, dtype=jnp.float32,
         h, w = frames.shape[:2]
     else:
         h = w = 0
-    if h and not interpret and _block_dims(h, w) is not None:
-        bh, bw = _block_dims(h, w)
+    dims = _block_dims(h, w) if h else None
+    if dims is not None and not interpret:
+        bh, bw = dims
         if packed is None:
             packed = jax.lax.bitcast_convert_type(frames, jnp.int32)
         out = pl.pallas_call(

@@ -33,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpufg.kernels.common import cdiv, round_up, use_interpret
+from tpufg.kernels.common import cdiv, pick_tile, round_up, use_interpret
 
 F32 = jnp.float32
 _NP_PI = np.float32(3.14159265359)  # scale.comp:18
@@ -277,17 +277,6 @@ def _scale_packed_kernel(row_start_ref, col_start_ref, img_ref, by_ref,
     out_ref[...] = packed
 
 
-def _pick_tile(out_size: int, mult: int, cap: int) -> int:
-    """Largest multiple of ``mult`` <= cap that divides ``out_size`` (so no
-    crop copy is needed); falls back to the padded-tile plan."""
-    t = (cap // mult) * mult
-    while t >= mult:
-        if out_size % t == 0:
-            return t
-        t -= mult
-    return min(cap, round_up(out_size, mult))
-
-
 def lanczos_scale_packed(
     img: jax.Array,
     out_h: int,
@@ -319,8 +308,8 @@ def lanczos_scale_packed(
     if compute_dtype is None:
         compute_dtype = dtype
 
-    t_ox = _pick_tile(out_w, 128, min(tile_out, round_up(out_w, 128)))
-    t_oy = _pick_tile(out_h, 8, min(tile_out, round_up(out_h, 8)))
+    t_ox = pick_tile(out_w, 128, min(tile_out, round_up(out_w, 128)))
+    t_oy = pick_tile(out_h, 8, min(tile_out, round_up(out_h, 8)))
     col_starts, bx, span_x, n_tx, in_wp, pad_l = _axis_plan(
         in_w, out_w, a, t_ox, 128)
     row_starts, by_t, span_y, n_ty, in_hp, pad_t = _axis_plan(

@@ -16,22 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from tpufg.kernels.common import cdiv, round_up, use_interpret
+from tpufg.kernels.common import cdiv, pick_tile, round_up, use_interpret
 
 F32 = jnp.float32
-
-
-def _pick_tile(n: int, mult: int, cap: int) -> int:
-    """Largest tile <= cap that is a multiple of ``mult`` and divides
-    ``n`` (zero grid padding); falls back to the capped round-up.  At the
-    1080p pyramid levels the divisor choice (e.g. 136 rows for oh=544)
-    removes the 15-18% row padding cdiv tiling paid."""
-    t = (cap // mult) * mult
-    while t >= mult:
-        if n % t == 0:
-            return t
-        t -= mult
-    return min(cap, round_up(n, mult))
 
 
 def _avg_band(n_out: int) -> np.ndarray:
@@ -63,8 +50,8 @@ def box_downsample2(img: jax.Array, tile: int = 128,
     if h % 2 or w % 2:
         raise ValueError(f"box_downsample2 needs even dims, got {h}x{w}")
     oh, ow = h // 2, w // 2
-    th = _pick_tile(oh, 8, tile + tile // 2)
-    tw = _pick_tile(ow, 128, tile)
+    th = pick_tile(oh, 8, tile + tile // 2)
+    tw = pick_tile(ow, 128, tile)
     n_ty, n_tx = cdiv(oh, th), cdiv(ow, tw)
     hp, wp = n_ty * th * 2, n_tx * tw * 2
     img_p = jnp.pad(img, ((0, 0), (0, hp - h), (0, wp - w)))
