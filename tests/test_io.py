@@ -187,6 +187,53 @@ class TestY4M:
         err = np.abs(out[0][..., :3].astype(int) - smooth[..., :3].astype(int))
         assert err.max() <= 4
 
+    def test_stream_input_with_sniffed_header(self, tmp_path, frames):
+        """Y4MSource reads from a binary stream (piped ffmpeg output),
+        including bytes a sniffer already consumed."""
+        import io as _io
+
+        p = str(tmp_path / "v.y4m")
+        with Y4MSink(p, 32, 24, fps=30) as sink:
+            for f in frames:
+                sink.write(f)
+        raw = open(p, "rb").read()
+        stream = _io.BytesIO(raw[9:])  # sniffer took the signature
+        src = Y4MSource(stream, header_prefix=raw[:9])
+        assert src.size == (32, 24)
+        out = list(src)
+        assert len(out) == 4
+        src.close()
+        assert not stream.closed  # non-owned streams stay open
+
+    def test_open_source_sniffs_y4m_on_stdin(self, tmp_path, frames,
+                                             monkeypatch):
+        """`tpufg -` with no explicit size auto-detects a piped y4m."""
+        import io as _io
+        import sys as _sys
+        import types
+
+        p = str(tmp_path / "v.y4m")
+        with Y4MSink(p, 32, 24, fps=30) as sink:
+            for f in frames:
+                sink.write(f)
+        raw = open(p, "rb").read()
+        monkeypatch.setattr(
+            _sys, "stdin", types.SimpleNamespace(buffer=_io.BytesIO(raw)))
+        src = open_source("-")
+        assert src.size == (32, 24)
+        assert len(list(src)) == 4
+
+    def test_open_source_raw_stdin_needs_size(self, monkeypatch):
+        import io as _io
+        import sys as _sys
+        import types
+
+        monkeypatch.setattr(
+            _sys, "stdin",
+            types.SimpleNamespace(buffer=_io.BytesIO(b"\x00" * 64)))
+        with pytest.raises(SourceError):
+            open_source("-")
+
     def test_420_odd_size_falls_back_to_444(self, tmp_path, frames):
         p = str(tmp_path / "odd.y4m")
         with Y4MSink(p, 31, 24, fps=30, chroma="420") as sink:

@@ -216,11 +216,21 @@ def _bt601_to_rgb(y, u, v):
 
 
 class Y4MSource(FrameSource):
-    """YUV4MPEG2 reader (C444 and C420* chroma, 8-bit, BT.601)."""
+    """YUV4MPEG2 reader (C444 and C420* chroma, 8-bit, BT.601).
 
-    def __init__(self, path: str):
-        self._f = open(path, "rb")
-        header = b""
+    ``path`` may also be a binary stream (e.g. ``sys.stdin.buffer`` for
+    ``ffmpeg ... -f yuv4mpeg | tpufg -``); ``header_prefix`` carries bytes
+    a caller already consumed while sniffing the stream type.
+    """
+
+    def __init__(self, path, header_prefix: bytes = b""):
+        if isinstance(path, (str, bytes)):
+            self._f = open(path, "rb")
+            self._own = True
+        else:
+            self._f = path
+            self._own = False
+        header = bytes(header_prefix)
         while not header.endswith(b"\n"):
             ch = self._f.read(1)
             if not ch:
@@ -289,7 +299,8 @@ class Y4MSource(FrameSource):
             yield np.concatenate([rgb, alpha], axis=-1)
 
     def close(self):
-        self._f.close()
+        if self._own:
+            self._f.close()
 
 
 class SyntheticSource(FrameSource):
@@ -378,6 +389,17 @@ def open_source(spec: str, width: int = 0, height: int = 0,
         return SyntheticSource(int(m.group(1)), int(m.group(2)),
                                n_frames=frames, pattern=pattern)
     if spec == "-":
+        if width <= 0 or height <= 0:
+            # no explicit size: sniff the stream type — a YUV4MPEG2
+            # signature means a piped y4m (ffmpeg ... -f yuv4mpegpipe - |
+            # tpufg -); raw stdin always requires explicit sizes
+            stream = sys.stdin.buffer
+            probe = stream.read(9)
+            if probe == b"YUV4MPEG2":
+                return Y4MSource(stream, header_prefix=probe)
+            raise SourceError(
+                "stdin: no --input-width/height and the stream is not "
+                "YUV4MPEG2 (raw stdin input needs explicit sizes)")
         return StdinSource(width, height, channel_order)
     if spec.endswith(".y4m"):
         return Y4MSource(spec)
