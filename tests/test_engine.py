@@ -138,6 +138,19 @@ class TestStreaming:
         stats = run_stream(cfg, src, NullSink(), max_frames=3, paced=False)
         assert stats.frames_in == 3
 
+    def test_temporal_mv_streaming(self):
+        """The runner threads the MV predictor through the temporal step
+        (state init, donation, pop-before-sink) — full engine path."""
+        cfg = _cfg(input_width=128, input_height=64, output_width=128,
+                   output_height=64, motion_mode="pyramid",
+                   temporal_mv=True)
+        src = SyntheticSource(128, 64, n_frames=6)
+        sink = NullSink()
+        stats = run_stream(cfg, src, sink, paced=False)
+        assert stats.frames_in == 6
+        assert stats.frames_out == 11  # 1 + 5*2 (MV output not emitted)
+        assert sink.count == 11
+
 
 class TestFpsMultiplier:
     def test_k4_output_count_and_ordering(self, rng):
