@@ -59,6 +59,27 @@ class TestWarpMatmul:
         ref = warp_blend_block(prev, curr, mv, factor=0.5)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
+    def test_integer_offsets_bitwise(self, frames):
+        """The integer fast path must be BITWISE the general path on even
+        MVs at t=0.5 (x*1 + y*0 is exact), in both dtypes and modes."""
+        prev, curr = frames
+        rng = np.random.default_rng(3)
+        mv = (rng.integers(-8, 9, (2, prev.shape[1] // 16,
+                                   prev.shape[2] // 16)) * 2).astype(
+                                       np.float32)
+        for dt in (jnp.float32, jnp.bfloat16):
+            a = warp_blend_matmul(prev, curr, jnp.asarray(mv), 0.5,
+                                  dtype=dt)
+            b = warp_blend_matmul(prev, curr, jnp.asarray(mv), 0.5,
+                                  dtype=dt, integer_offsets=True)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # single mode with plain-integer MVs
+        mvi = rng.integers(-8, 9, mv.shape).astype(np.float32)
+        a = warp_blend_matmul(prev, prev, jnp.asarray(mvi), single=True)
+        b = warp_blend_matmul(prev, prev, jnp.asarray(mvi), single=True,
+                              integer_offsets=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_bf16_close(self, frames):
         prev, curr = frames
         mv = jnp.full((2, 4, 16), 3.5, jnp.float32)

@@ -210,11 +210,21 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
     if mv_seed is not None:
         from tpufg.models.pyramid import TEMPORAL_CLAMP
         r_warp = max(r_warp, TEMPORAL_CLAMP + 24)
+    # integer-offset fast path: pyramid latency-mode MVs are EVEN integers
+    # (the final upsample doubles an integer lattice; the 3x3 median of
+    # even integers is even), so at t=0.5 each frame's offsets are exact —
+    # the warp drops the lerp and second row read (bitwise-identical
+    # result; x*1 + y*0 is exact).  Any fractional source — a temporal
+    # seed, the mv-grid upsample, t != 0.5 — disables it.
+    int_offs = (mode == "pyramid" and skip_finest_refine >= 1
+                and mv_grid == MV_GRID and mv_seed is None
+                and all(tf == 0.5 for tf in factors))
     for tf in factors:  # one MV field shared by all time points
         warped = warp_blend_matmul(pp, cp, -mv, factor=tf,
                                    block=mv_grid,
                                    search_radius=r_warp,
-                                   dtype=dt, occlusion=occlusion_blend)
+                                   dtype=dt, occlusion=occlusion_blend,
+                                   integer_offsets=int_offs)
         interps.append(cut_fallback(warped[:, :h, :w], tf))
     if return_mv:
         return interps, mv_out

@@ -42,7 +42,7 @@ OCC_SLOPE = 8.0
 
 
 def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
-              dtype, prec, max_off):
+              dtype, prec, max_off, integer_offsets=False):
     """Warp one frame by per-block offsets.
 
     (A batched variant warping prev+curr in one pass with a leading frame
@@ -53,6 +53,11 @@ def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
     ext: [C, H + 2*halo, W'] edge-padded planar frame (compute dtype).
     ix0/iy0: [n_by, n_bx] int32 floor offsets; fx/fy fractions.
     Returns [C, H, W].
+
+    ``integer_offsets``: caller-guaranteed fx == fy == 0 (the pyramid's
+    latency-mode MVs are even, so at t=0.5 each frame's offsets are exact
+    integers): the shift matrices collapse to a single 0/1 band and the
+    vertical pass to a pure select — no lerp, no second row read.
     """
     c = ext.shape[0]
     band_rows = g + 2 * halo  # rows a band's blocks can reach (|off| <= halo-1)
@@ -103,8 +108,11 @@ def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
     # built directly in the compute dtype: the f32 [n_tx,n_by,256,128]
     # intermediate + convert measured ~0.4 ms/step at 1080p (134 MB of HBM
     # churn for a matrix the MXU reads as bf16 anyway)
-    s_full = (jnp.where(d[None, None] == sh, one - fr, zero)
-              + jnp.where(d[None, None] == sh + 1, fr, zero))
+    if integer_offsets:
+        s_full = jnp.where(d[None, None] == sh, one, zero)
+    else:
+        s_full = (jnp.where(d[None, None] == sh, one - fr, zero)
+                  + jnp.where(d[None, None] == sh + 1, fr, zero))
     segs = bands.reshape(c, n_by, band_rows, n_tx + 1, 128)
     segs0 = segs[..., :-1, :]
     segs1 = segs[..., 1:, :]
@@ -136,16 +144,19 @@ def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
     for delta in range(-max_off, max_off + 1):
         m = (iy0c == delta)
         rows0 = hx[:, :, halo_v + delta: halo_v + delta + g, :]
-        rows1 = hx[:, :, halo_v + delta + 1: halo_v + delta + g + 1, :]
-        lerped = rows0 * (one - fyc) + rows1 * fyc
-        out = out + jnp.where(m, lerped, zero)
+        if integer_offsets:
+            sel = rows0
+        else:
+            rows1 = hx[:, :, halo_v + delta + 1: halo_v + delta + g + 1, :]
+            sel = rows0 * (one - fyc) + rows1 * fyc
+        out = out + jnp.where(m, sel, zero)
     return out.reshape(c, h, w).astype(F32)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("factor", "block", "search_radius", "single", "dtype",
-                     "occlusion", "_valid_w"),
+                     "occlusion", "integer_offsets", "_valid_w"),
 )
 def warp_blend_matmul(
     prev: jax.Array,
@@ -157,6 +168,7 @@ def warp_blend_matmul(
     single: bool = False,
     dtype=jnp.float32,
     occlusion: bool = False,
+    integer_offsets: bool = False,
     _valid_w: int | None = None,
 ) -> jax.Array:
     """Motion-compensated blend (production XLA/MXU path).
@@ -188,6 +200,7 @@ def warp_blend_matmul(
         mv = jnp.pad(mv, ((0, 0), (0, 0), (0, pw // g)), mode="edge")
         out = warp_blend_matmul(prev, curr, mv, factor=factor, block=block,
                                 search_radius=search_radius, single=single,
+                                integer_offsets=integer_offsets,
                                 dtype=dtype, occlusion=occlusion, _valid_w=w)
         return out[:, :, :w]
     n_by, n_bx = h // g, w // g
@@ -244,6 +257,7 @@ def warp_blend_matmul(
 
     valid_w = _valid_w if _valid_w is not None else w
     kw = dict(g=g, halo=halo, n_by=n_by, n_bx=n_bx, h=h, w=w,
+              integer_offsets=integer_offsets,
               dtype=dtype, prec=prec, max_off=eff_r)
     if single:
         return _warp_one(pad(prev), *offsets(F32(1.0)), **kw) + F32(0.5)

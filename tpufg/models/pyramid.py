@@ -177,10 +177,12 @@ def pyramid_motion_search(
             # seeded MVs carry up to TEMPORAL_CLAMP full-res px on top of
             # the pyramid's own reach (level-lvl pixel units here)
             max_disp += TEMPORAL_CLAMP // 2 ** lvl
-        # warp prev by the current estimate, then search the residual
+        # warp prev by the current estimate, then search the residual.
+        # Unseeded refine MVs are integers (lattice results doubled per
+        # level), so the single-warp takes the exact integer fast path.
         warped = warp_blend_matmul(
             p_l, p_l, mv, block=grid, search_radius=max(int(max_disp), 1),
-            single=True,
+            single=True, integer_offsets=seed is None,
         )
         if _lattice_ok(refine_radius, block_size, grid):
             res = motion_search_lattice(
