@@ -555,6 +555,44 @@ class TestTemporalMV:
             make_sharded_interp_step(make_spatial_mesh(8, dp=2), cfg)
 
 
+class TestIntegerOffsetGate:
+    def test_odd_search_radius_uses_general_path(self, rng):
+        """The warp clips MVs to ±r: an ODD --search-radius turns clipped
+        even MVs odd (fractional half-offsets at t=0.5), so the integer
+        fast path must stay off — the step must bitwise-match an explicit
+        general-path recomputation."""
+        from tpufg.engine.pipeline import interp_planar
+        from tpufg.kernels.convert import frames_to_planar, planar_to_frames
+        from tpufg.kernels.warp_matmul import warp_blend_matmul
+        from tpufg.models.pyramid import pyramid_motion_search
+        import jax.numpy as jnp2
+
+        h, w, v = 64, 128, 20  # motion beyond the clip bound
+        base = rng.integers(0, 256, (h, w + 3 * v, 4), dtype=np.uint8)
+        prev = np.ascontiguousarray(base[:, :w])
+        curr = np.ascontiguousarray(base[:, v:v + w])
+        cfg = _cfg(input_width=w, input_height=h, output_width=w,
+                   output_height=h, motion_mode="pyramid", search_radius=9)
+        out = np.asarray(make_interp_step(cfg)(jnp.asarray(prev),
+                                               jnp.asarray(curr))[0])
+        # explicit general-path recomputation of the same step
+        p = frames_to_planar(jnp.asarray(prev), jnp2.float32)
+        c = frames_to_planar(jnp.asarray(curr), jnp2.float32)
+        mv = pyramid_motion_search(p, c, levels=3, base_radius=4,
+                                   refine_radius=2, block_size=8, grid=16,
+                                   skip_finest_refine=1)
+        ref = warp_blend_matmul(p, c, -mv, 0.5, search_radius=9,
+                                dtype=jnp2.float32, integer_offsets=False)
+        ref_u8 = np.asarray(planar_to_frames(ref))
+        # <= 1 code: XLA fuses the in-step chain differently than the
+        # standalone recomputation (same rounding-at-.5 phenomenon as the
+        # sharded contract).  The guarded bug — integer_offsets dropping
+        # the clipped MVs' half-pixel fraction — misaligns content by
+        # 0.5 px and fails this by tens of codes.
+        d = np.abs(out.astype(int) - ref_u8.astype(int))
+        assert d.max() <= 1, d.max()
+
+
 class TestI32Wire:
     """The packed-int32 wire must be byte-identical to the uint8 wire."""
 

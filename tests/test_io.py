@@ -234,6 +234,52 @@ class TestY4M:
         with pytest.raises(SourceError):
             open_source("-")
 
+    def test_stdout_spec_resolves_to_y4m(self):
+        """--output - must stream self-describing y4m (for | mpv -), not
+        headerless raw bytes."""
+        from tpufg.io.sinks import open_sink
+        sink = open_sink("-", 32, 24, fps=30)
+        assert isinstance(sink, Y4MSink)
+
+    def test_short_read_stream_accumulates(self, tmp_path, frames):
+        """A raw pipe returning short reads mid-stream must not drop
+        frames (same contract as StdinSource)."""
+        import io as _io
+
+        p = str(tmp_path / "v.y4m")
+        with Y4MSink(p, 32, 24, fps=30) as sink:
+            for f in frames:
+                sink.write(f)
+        raw = open(p, "rb").read()
+
+        class Dribble(_io.RawIOBase):
+            def __init__(self, data):
+                self._d = data
+                self._i = 0
+
+            def readable(self):
+                return True
+
+            def read(self, n=-1):
+                if self._i >= len(self._d):
+                    return b""
+                n = 37 if n is None or n < 0 else min(n, 37)
+                chunk = self._d[self._i:self._i + n]
+                self._i += len(chunk)
+                return chunk
+
+            def readline(self):
+                if self._i >= len(self._d):
+                    return b""
+                j = self._d.find(b"\n", self._i)
+                j = len(self._d) if j < 0 else j + 1
+                chunk = self._d[self._i:j]
+                self._i = j
+                return chunk
+
+        src = Y4MSource(Dribble(raw[9:]), header_prefix=raw[:9])
+        assert len(list(src)) == 4
+
     def test_420_odd_size_falls_back_to_444(self, tmp_path, frames):
         p = str(tmp_path / "odd.y4m")
         with Y4MSink(p, 31, 24, fps=30, chroma="420") as sink:

@@ -134,6 +134,11 @@ def main(argv: Optional[list[str]] = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
 
+    if args.output == "-":
+        # stdout carries the y4m payload: log lines would corrupt the
+        # stream, so route them to stderr for this run
+        log.stream = sys.stderr
+
     if not args.input:
         # main.cpp:57-60: missing positional -> error + usage + exit 1
         log.error("No input specified")

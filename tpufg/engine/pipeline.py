@@ -215,10 +215,13 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
     # even integers is even), so at t=0.5 each frame's offsets are exact —
     # the warp drops the lerp and second row read (bitwise-identical
     # result; x*1 + y*0 is exact).  Any fractional source — a temporal
-    # seed, the mv-grid upsample, t != 0.5 — disables it.
+    # seed, the mv-grid upsample, t != 0.5, or an ODD warp clip bound
+    # (the warp clips MVs to ±r_warp; clipping an even MV to an odd bound
+    # makes the half-offset fractional) — disables it.
     int_offs = (mode == "pyramid" and skip_finest_refine >= 1
                 and mv_grid == MV_GRID and mv_seed is None
-                and all(tf == 0.5 for tf in factors))
+                and all(tf == 0.5 for tf in factors)
+                and r_warp % 2 == 0)
     for tf in factors:  # one MV field shared by all time points
         warped = warp_blend_matmul(pp, cp, -mv, factor=tf,
                                    block=mv_grid,

@@ -153,9 +153,14 @@ class PNGDirSink(FrameSink):
 
 def open_sink(spec: Optional[str], width: int, height: int,
               fps: float = 60.0, y4m_chroma: str = "444") -> FrameSink:
-    """Resolve an --output spec: null/none, *.y4m, directory/ (PNGs), raw file."""
+    """Resolve an --output spec: null/none, ``-`` (y4m to stdout),
+    *.y4m, directory/ (PNGs), raw file."""
     if spec is None or spec in ("null", "none"):
         return NullSink()
+    if spec == "-":
+        # stdout is for piping (| mpv -): a self-describing y4m stream,
+        # not headerless raw bytes nothing can identify
+        return Y4MSink("-", width, height, fps, chroma=y4m_chroma)
     if spec.endswith(".y4m"):
         return Y4MSink(spec, width, height, fps, chroma=y4m_chroma)
     if spec.endswith("/") or os.path.isdir(spec):

@@ -224,7 +224,7 @@ class Y4MSource(FrameSource):
     """
 
     def __init__(self, path, header_prefix: bytes = b""):
-        if isinstance(path, (str, bytes)):
+        if isinstance(path, (str, bytes, os.PathLike)):
             self._f = open(path, "rb")
             self._own = True
         else:
@@ -269,6 +269,23 @@ class Y4MSource(FrameSource):
     def fps(self):
         return self._fps_v
 
+    def _read_full(self, n: int) -> bytes:
+        """Accumulate exactly n bytes: raw pipes may return short reads
+        mid-stream (same contract as StdinSource); only a zero-byte read
+        is EOF."""
+        buf = bytearray()
+        while len(buf) < n:
+            chunk = self._f.read(n - len(buf))
+            if not chunk:
+                if buf:
+                    from tpufg.utils.logging import get_logger
+                    get_logger().warning(
+                        f"y4m: dropping trailing partial frame "
+                        f"({len(buf)}/{n} bytes)")
+                return b""
+            buf += chunk
+        return bytes(buf)
+
     def __iter__(self):
         ysz = self._w * self._h
         csz = self._cw * self._ch_
@@ -278,8 +295,8 @@ class Y4MSource(FrameSource):
                 return
             if not line.startswith(b"FRAME"):
                 raise SourceError("bad y4m frame marker")
-            data = self._f.read(ysz + 2 * csz)
-            if len(data) < ysz + 2 * csz:
+            data = self._read_full(ysz + 2 * csz)
+            if not data:
                 return
             y = np.frombuffer(data[:ysz], np.uint8).reshape(self._h, self._w)
             u = np.frombuffer(data[ysz:ysz + csz], np.uint8).reshape(
