@@ -230,6 +230,7 @@ class Y4MSource(FrameSource):
         else:
             self._f = path
             self._own = False
+            path = getattr(path, "name", None) or "<y4m stream>"
         header = bytes(header_prefix)
         while not header.endswith(b"\n"):
             ch = self._f.read(1)
