@@ -88,6 +88,21 @@ class TestEndToEnd:
         assert out.stat().st_size == 2 * 128 * 64 * 4
 
 
+class TestStdoutPipe:
+    def test_stdout_y4m_clean_of_log_lines(self, tmp_path, capfdbinary):
+        """--output - must put ONLY the y4m payload on stdout (logs go to
+        stderr) — the documented '| mpv -' pipe depends on it."""
+        rc = main(["synthetic:32x32", "--frames", "3", "--no-pacing",
+                   "--motion-mode", "none", "--output", "-",
+                   "--dtype", "f32"])
+        out, err = capfdbinary.readouterr()
+        assert rc == 0
+        assert out.startswith(b"YUV4MPEG2")
+        assert out.count(b"FRAME") == 5  # 1 + 2*2
+        assert b"[INFO]" not in out
+        assert b"[INFO]" in err
+
+
 class TestValidateCLI:
     def test_crossfade_passes_gate(self):
         from tpufg.validate import main as vmain

@@ -134,10 +134,10 @@ def main(argv: Optional[list[str]] = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
 
-    if args.output == "-":
-        # stdout carries the y4m payload: log lines would corrupt the
-        # stream, so route them to stderr for this run
-        log.stream = sys.stderr
+    # stdout carries the y4m payload when --output is '-': log lines
+    # would corrupt the stream, so route them to stderr for that run
+    # (set explicitly each invocation; resolved at write time)
+    log.to_stderr = args.output == "-"
 
     if not args.input:
         # main.cpp:57-60: missing positional -> error + usage + exit 1

@@ -38,7 +38,13 @@ class Logger:
     def __init__(self, level: LogLevel = LogLevel.INFO, stream: Optional[IO] = None):
         self._lock = threading.Lock()
         self.level = level
-        self.stream = stream if stream is not None else sys.stdout
+        # an explicit stream pins output; otherwise resolve sys.stdout /
+        # sys.stderr at WRITE time (redirects survive interpreter-level
+        # stream swaps — pytest capture, contextlib.redirect_*)
+        self.stream = stream
+        #: route log lines to stderr — set by the CLI when stdout carries
+        #: the y4m payload (--output -)
+        self.to_stderr = False
         self._last_error: Optional[str] = None
 
     def log(self, level: LogLevel, *parts) -> None:
@@ -48,8 +54,11 @@ class Logger:
                 self._last_error = msg
             if level < self.level:
                 return
+            stream = self.stream
+            if stream is None:
+                stream = sys.stderr if self.to_stderr else sys.stdout
             ts = time.strftime("%a %b %d %H:%M:%S %Y", time.localtime())
-            self.stream.write(f"[{ts}] [{_LEVEL_NAMES[level]}] {msg}\n")
+            stream.write(f"[{ts}] [{_LEVEL_NAMES[level]}] {msg}\n")
 
     # reference macro surface (logger.hpp:70-73)
     def debug(self, *parts) -> None:
