@@ -138,6 +138,27 @@ class TestStreaming:
         stats = run_stream(cfg, src, NullSink(), max_frames=3, paced=False)
         assert stats.frames_in == 3
 
+    def test_all_quality_features_compose(self, tmp_path):
+        """Every round-2 quality flag at once through the full engine:
+        temporal MV threading + scene-cut + MV filter + occlusion blend +
+        overlay burn-in (a host sink so the overlay branch runs);
+        counts and the white stats text pinned."""
+        from tpufg.io.sinks import RawVideoSink
+
+        cfg = _cfg(input_width=128, input_height=64, output_width=128,
+                   output_height=64, motion_mode="pyramid",
+                   temporal_mv=True, scene_cut_threshold=0.12,
+                   mv_filter=True, occlusion_blend=True, overlay=True)
+        src = SyntheticSource(128, 64, n_frames=5, pattern="panmix")
+        out = tmp_path / "all.raw"
+        with RawVideoSink(str(out)) as sink:
+            stats = run_stream(cfg, src, sink, paced=False)
+        assert stats.frames_in == 5
+        assert stats.frames_out == 9
+        data = np.fromfile(out, np.uint8).reshape(9, 64, 128, 4)
+        band = data[0, 8:24, 8:120, :3]
+        assert (band == 255).all(axis=-1).any()  # stats text burned in
+
     def test_temporal_mv_streaming(self):
         """The runner threads the MV predictor through the temporal step
         (state init, donation, pop-before-sink) — full engine path."""
