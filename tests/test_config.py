@@ -73,3 +73,17 @@ def test_invalid_factor_rejected():
 def test_invalid_fps_rejected():
     with pytest.raises(ConfigError):
         EngineConfig(target_fps=0).validate()
+
+
+def test_warp_envelope_validated_at_config_time():
+    """A --search-radius / --interpolation-factor combination whose warp
+    reach exceeds the kernel window fails in validate() with a message
+    naming the flags, not at trace time inside warp_blend_matmul."""
+    with pytest.raises(ConfigError, match="search-radius"):
+        EngineConfig(motion_mode="exhaustive", search_radius=80,
+                     interpolation_factor=0.9).validate()
+    # same radius at a kinder blend weight stays valid
+    EngineConfig(motion_mode="exhaustive", search_radius=80,
+                 interpolation_factor=0.5).validate()
+    # non-warping modes don't care
+    EngineConfig(motion_mode="none", search_radius=500).validate()

@@ -1,6 +1,8 @@
 """Frame source/sink round-trips."""
 
 import io
+import os
+
 import numpy as np
 import pytest
 
@@ -349,3 +351,53 @@ class TestSpecResolution:
         assert isinstance(open_sink(None, 8, 8), NullSink)
         assert isinstance(open_sink("null", 8, 8), NullSink)
         assert isinstance(open_sink(str(tmp_path) + "/", 8, 8), PNGDirSink)
+
+
+class TestDeferredHeaderAndAsync:
+    def test_y4m_header_deferred_to_first_write(self, tmp_path, rng):
+        """Opening the sink must not emit the stream header: a consumer
+        piped to stdout must not receive a y4m header for a stream that
+        dies before its first frame (engine/model startup failures)."""
+        p = str(tmp_path / "v.y4m")
+        sink = Y4MSink(p, 32, 24, fps=30)
+        assert os.path.getsize(p) == 0
+        sink.write(rng.integers(0, 256, (24, 32, 4), dtype=np.uint8))
+        sink.close()
+        data = open(p, "rb").read()
+        assert data.startswith(b"YUV4MPEG2 W32 H24 ")
+
+    def test_y4m_empty_stream_has_no_header(self, tmp_path):
+        p = str(tmp_path / "v.y4m")
+        with Y4MSink(p, 32, 24, fps=30):
+            pass
+        assert os.path.getsize(p) == 0
+
+    def test_async_sink_preserves_order(self, rng):
+        from tpufg.io.sinks import AsyncSink, FrameSink
+
+        got = []
+
+        class Rec(FrameSink):
+            def write(self, frame):
+                got.append(int(frame[0, 0, 0]))
+
+        frames = [np.full((4, 4, 4), i, np.uint8) for i in range(32)]
+        with AsyncSink(Rec(), depth=3) as sink:
+            for f in frames:
+                sink.write(f)
+        assert got == list(range(32))
+
+    def test_async_sink_propagates_worker_error(self):
+        from tpufg.io.sinks import AsyncSink, FrameSink
+
+        class Boom(FrameSink):
+            def write(self, frame):
+                raise OSError("disk full")
+
+        sink = AsyncSink(Boom(), depth=2)
+        with pytest.raises(OSError, match="disk full"):
+            for _ in range(16):
+                sink.write(np.zeros((2, 2, 4), np.uint8))
+                import time
+                time.sleep(0.01)
+            sink.close()

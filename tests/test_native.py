@@ -68,3 +68,46 @@ def test_clock_paces():
     dt = time.perf_counter() - t0
     clk.close()
     assert 0.04 <= dt <= 0.3
+
+
+def test_egress_yuv444_matches_python_bytes(rng):
+    """Sink egress contract: the native converter and the numpy fallback
+    compute the SAME 16.16 fixed-point BT.601 math — byte-identical."""
+    from tpufg.io.sinks import _rgb_to_bt601
+    rgba = rng.integers(0, 256, (23, 37, 4), dtype=np.uint8)
+    ny, nu, nv = native.rgba_to_yuv444(rgba)
+    py, pu, pv = _rgb_to_bt601(rgba[..., :3])
+    np.testing.assert_array_equal(ny, py)
+    np.testing.assert_array_equal(nu, pu)
+    np.testing.assert_array_equal(nv, pv)
+
+
+def test_down2x2_matches_python_bytes(rng):
+    from tpufg.io.sinks import _down2x2
+    plane = rng.integers(0, 256, (24, 36), dtype=np.uint8)
+    np.testing.assert_array_equal(native.down2x2(plane), _down2x2(plane))
+
+
+def test_y4m_sink_native_vs_fallback_bytes(tmp_path, rng, monkeypatch):
+    """A y4m file written through the native egress is byte-identical to
+    one written through the pure-python fallback (both chroma modes)."""
+    from tpufg.io import sinks
+
+    frames = [rng.integers(0, 256, (24, 32, 4), dtype=np.uint8)
+              for _ in range(3)]
+    for chroma in ("444", "420"):
+        paths = []
+        for tag, disable in (("nat", False), ("py", True)):
+            p = str(tmp_path / f"{tag}_{chroma}.y4m")
+            if disable:
+                monkeypatch.setattr(native, "rgba_to_yuv444",
+                                    lambda *_: None)
+                monkeypatch.setattr(native, "down2x2", lambda *_: None)
+            else:
+                monkeypatch.undo()
+            with sinks.Y4MSink(p, 32, 24, fps=30, chroma=chroma) as sink:
+                for f in frames:
+                    sink.write(f)
+            paths.append(p)
+        a, b = (open(p, "rb").read() for p in paths)
+        assert a == b and len(a) > 0

@@ -46,3 +46,21 @@ def test_grid_shape(rng):
     prev, curr = _smooth_pair(rng, 128, 192, 2, 1)
     mv = pyramid_motion_search(prev, curr, levels=2, grid=16)
     assert mv.shape == (2, 8, 12)
+
+
+def test_seeded_overreach_fails_descriptively(rng):
+    """Any seeded config whose refine warp would exceed the warp kernel's
+    halo window gets the descriptive per-level error — including the
+    levels=2, skip=0 case that used to escape the old levels>=3 guard and
+    die inside warp_blend_matmul with a kernel-internal message."""
+    prev, curr = _smooth_pair(rng, 64, 128, 0, 0)
+    seed = jnp.zeros((2, 4, 8), jnp.float32)
+    with pytest.raises(ValueError, match="skip_finest_refine"):
+        pyramid_motion_search(prev, curr, levels=2, base_radius=4,
+                              refine_radius=2, grid=16,
+                              skip_finest_refine=0, seed=seed)
+    # seeded with the refine skipped stays valid
+    mv = pyramid_motion_search(prev, curr, levels=2, base_radius=4,
+                               refine_radius=2, grid=16,
+                               skip_finest_refine=1, seed=seed)
+    assert mv.shape == (2, 4, 8)

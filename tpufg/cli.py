@@ -200,6 +200,12 @@ def main(argv: Optional[list[str]] = None) -> int:
                                 if cfg.enable_interpolation else 1)
     sink = open_sink(args.output, cfg.output_width, cfg.output_height,
                      fps=float(out_fps), y4m_chroma=args.y4m_chroma)
+    if sink.needs_host:
+        # serialize frames on a worker thread so egress (pixel conversion
+        # + file IO) overlaps the next step's device compute — the sink
+        # side of the ingest ring's software pipeline
+        from tpufg.io.sinks import AsyncSink
+        sink = AsyncSink(sink)
 
     from tpufg.engine.runner import run_stream
 

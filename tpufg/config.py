@@ -111,21 +111,36 @@ class EngineConfig:
             raise ConfigError(
                 "--temporal-mv requires motion_mode='pyramid' "
                 f"(got {self.motion_mode!r})")
-        if self.temporal_mv:
-            # the widened temporal warp reach (TEMPORAL_CLAMP + pyramid
-            # reach = 72 px) times the largest per-frame blend weight must
-            # stay within the warp kernel's halo ceiling (eff_r <= 54,
-            # 256-col window) — see kernels/warp_matmul.py
+        if self.enable_interpolation and self.motion_mode in ("pyramid",
+                                                              "exhaustive"):
+            # warp-envelope feasibility, checked here at flag level so a
+            # bad combination fails before compile with a message naming
+            # the flags (not inside kernels/warp_matmul.py): the per-frame
+            # warp reach is the warp range times the largest blend weight,
+            # and must stay within the warp kernel's halo ceiling
+            # (eff_r <= 54 — halo = round_up(eff_r + 2, 8) <= 63 for the
+            # 256-col window).
+            import math
             mx = ((self.fps_multiplier - 1) / self.fps_multiplier
                   if self.fps_multiplier > 2
                   else max(self.interpolation_factor,
                            1.0 - self.interpolation_factor))
-            if mx > 0.75:
+            r_warp = max(self.search_radius, 8)
+            if self.temporal_mv:
+                # temporal predictor widens the warp range to
+                # TEMPORAL_CLAMP + pyramid reach (models/pyramid.py)
+                r_warp = max(r_warp, 72)
+            if math.ceil(r_warp * mx) > 54:
+                limit = math.floor(54 / mx)
                 raise ConfigError(
-                    "--temporal-mv supports fps multipliers up to 4 and "
-                    "interpolation factors in [0.25, 0.75]: beyond that "
-                    "the widened temporal warp reach exceeds the warp "
-                    "kernel's window")
+                    f"warp range {r_warp} px at blend weight {mx:.2f} "
+                    "exceeds the warp kernel's 54-px reach: lower "
+                    "--search-radius" +
+                    (" (or drop --temporal-mv, which widens the warp "
+                     "range to 72 px)" if self.temporal_mv else "") +
+                    ", bring --interpolation-factor closer to 0.5, or "
+                    "reduce --fps-multiplier "
+                    f"(max warp range at this blend weight: {limit} px)")
         for name in ("input_width", "input_height", "output_width", "output_height"):
             if getattr(self, name) < 0:
                 raise ConfigError(f"{name} must be >= 0")

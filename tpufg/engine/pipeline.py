@@ -139,7 +139,9 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
     interps = []
     cut = None
     if scene_cut_threshold > 0.0:
-        d = jnp.mean(jnp.abs(p.astype(F32) - c.astype(F32)))
+        # RGB channels only: every real source carries constant alpha, which
+        # would dilute the mean to 3/4 of the documented [0,1] RGB units
+        d = jnp.mean(jnp.abs(p[:3].astype(F32) - c[:3].astype(F32)))
         if scene_cut_axis is not None:
             d = jax.lax.pmean(d, scene_cut_axis)
         cut = d > F32(scene_cut_threshold)

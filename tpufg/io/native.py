@@ -72,6 +72,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.fg_yuv444_to_rgba.argtypes = [u8p, u8p, u8p, u8p,
                                           ctypes.c_int32, ctypes.c_int32]
         lib.fg_rgba_to_yuv444.argtypes = [u8p, u8p, u8p, u8p, ctypes.c_int64]
+        lib.fg_down2x2.argtypes = [u8p, u8p, ctypes.c_int32, ctypes.c_int32]
         lib.fg_ring_create.restype = ctypes.c_void_p
         lib.fg_ring_create.argtypes = [ctypes.c_char_p, ctypes.c_int32,
                                        ctypes.c_int32, ctypes.c_int32,
@@ -141,6 +142,18 @@ def rgba_to_yuv444(rgba: np.ndarray) -> Optional[tuple]:
     lib.fg_rgba_to_yuv444(_as_u8p(rgba), _as_u8p(y), _as_u8p(u), _as_u8p(v),
                           h * w)
     return y, u, v
+
+
+def down2x2(plane: np.ndarray) -> Optional[np.ndarray]:
+    """2x2 box average of a uint8 plane ((s+2)>>2); None if no native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h, w = plane.shape
+    plane = np.ascontiguousarray(plane)
+    dst = np.empty((h // 2, w // 2), np.uint8)
+    lib.fg_down2x2(_as_u8p(plane), _as_u8p(dst), w, h)
+    return dst
 
 
 class NativeRawRing:

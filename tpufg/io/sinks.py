@@ -62,16 +62,31 @@ class RawVideoSink(FrameSink):
 
 
 def _rgb_to_bt601(rgb: np.ndarray):
-    """Full-range RGB -> limited-range BT.601 YCbCr planes (uint8)."""
-    r = rgb[..., 0].astype(np.float32)
-    g = rgb[..., 1].astype(np.float32)
-    b = rgb[..., 2].astype(np.float32)
-    y = 16.0 + (65.481 * r + 128.553 * g + 24.966 * b) / 255.0
-    u = 128.0 + (-37.797 * r - 74.203 * g + 112.0 * b) / 255.0
-    v = 128.0 + (112.0 * r - 93.786 * g - 18.214 * b) / 255.0
+    """Full-range RGB -> limited-range BT.601 YCbCr planes (uint8).
+
+    Python fallback for the native converter (fg_rgba_to_yuv444,
+    native/fgio.cpp): SAME 16.16 fixed-point arithmetic, so the two paths
+    are byte-identical (pinned by tests/test_native.py).
+    """
+    r = rgb[..., 0].astype(np.int32)
+    g = rgb[..., 1].astype(np.int32)
+    b = rgb[..., 2].astype(np.int32)
+    y = ((16829 * r + 33039 * g + 6416 * b) >> 16) + 16
+    u = ((-9714 * r - 19070 * g + 28784 * b) >> 16) + 128
+    v = ((28784 * r - 24103 * g - 4681 * b) >> 16) + 128
     return (np.clip(y, 0, 255).astype(np.uint8),
             np.clip(u, 0, 255).astype(np.uint8),
             np.clip(v, 0, 255).astype(np.uint8))
+
+
+def _down2x2(p: np.ndarray) -> np.ndarray:
+    """2x2 box average (centered siting, "420jpeg"), (s + 2) >> 2 rounding.
+
+    Python fallback for fg_down2x2 (byte-identical arithmetic)."""
+    p16 = p.astype(np.uint16)
+    s = (p16[0::2, 0::2] + p16[0::2, 1::2]
+         + p16[1::2, 0::2] + p16[1::2, 1::2])
+    return ((s + 2) >> 2).astype(np.uint8)
 
 
 class Y4MSink(FrameSink):
@@ -80,6 +95,17 @@ class Y4MSink(FrameSink):
     C420 (2x2 box-averaged chroma) halves the file size vs C444 and is what
     players/encoders expect by default; C444 is lossless in chroma.  C420
     needs even dimensions — odd sizes fall back to C444 (with a warning).
+
+    The RGB->YCbCr conversion (and the 420 chroma downsample) run in the
+    native library when available — the reference's present path is part of
+    its per-frame loop (src/scaler.cpp:536-609), so ours must keep up with
+    the device: the numpy fallback computes the identical fixed-point math
+    but several times slower at 4K.
+
+    The stream header is written lazily on the first frame, not at open:
+    ``--output -`` pipes into a player, and an engine/model failure before
+    the first frame must not leave the consumer a y4m header for a stream
+    that never arrives.
     """
 
     def __init__(self, path: str, width: int, height: int, fps: float = 60.0,
@@ -97,20 +123,26 @@ class Y4MSink(FrameSink):
         self._own = path != "-"
         num = int(round(fps * 1000))
         tag = "C444" if chroma == "444" else "C420jpeg"
-        self._f.write(
+        self._header = (
             f"YUV4MPEG2 W{width} H{height} F{num}:1000 Ip A1:1 {tag}\n"
             .encode())
 
     def write(self, frame):
-        y, u, v = _rgb_to_bt601(frame[..., :3])
+        if self._header is not None:
+            self._f.write(self._header)
+            self._header = None
+        from tpufg.io import native
+        planes = None
+        if frame.shape[-1] == 4:
+            planes = native.rgba_to_yuv444(frame)  # None without the library
+        if planes is None:
+            y, u, v = _rgb_to_bt601(frame[..., :3])
+        else:
+            y, u, v = planes
         if self._chroma == "420":
-            # 2x2 box average (centered siting, "420jpeg")
-            def down(p):
-                p16 = p.astype(np.uint16)
-                s = (p16[0::2, 0::2] + p16[0::2, 1::2]
-                     + p16[1::2, 0::2] + p16[1::2, 1::2])
-                return ((s + 2) >> 2).astype(np.uint8)
-            u, v = down(u), down(v)
+            du, dv = native.down2x2(u), native.down2x2(v)
+            u = du if du is not None else _down2x2(u)
+            v = dv if dv is not None else _down2x2(v)
         self._f.write(b"FRAME\n")
         self._f.write(y.tobytes())
         self._f.write(u.tobytes())
@@ -119,6 +151,59 @@ class Y4MSink(FrameSink):
     def close(self):
         if self._own:
             self._f.close()
+        elif self._header is None:
+            self._f.flush()
+
+
+class AsyncSink(FrameSink):
+    """Run another sink's writes on a worker thread (bounded queue).
+
+    The engine's loop thread only enqueues the host frame; serialization
+    (pixel conversion + file IO — the egress leg) overlaps with the next
+    step's device compute, the same software pipelining the ingest ring
+    gives the source side.  Ordering is preserved (single worker draining
+    one FIFO); worker errors surface on the next write()/close().
+    """
+
+    def __init__(self, inner: FrameSink, depth: int = 3):
+        import queue
+        import threading
+        self._inner = inner
+        self.needs_host = inner.needs_host
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._err: Optional[BaseException] = None
+        self._done = object()
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            try:
+                if item is self._done:
+                    return
+                if self._err is None:
+                    self._inner.write(item)
+            except BaseException as e:  # latch; re-raised on the loop thread
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def _check(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def write(self, frame):
+        self._check()
+        self._q.put(frame)
+
+    def close(self):
+        if self._t.is_alive():
+            self._q.put(self._done)
+            self._t.join()
+        self._inner.close()
+        self._check()
 
 
 def encode_png(rgba: np.ndarray) -> bytes:

@@ -160,10 +160,25 @@ def pyramid_motion_search(
     if seed_c is not None:
         mv = mv + seed_c  # residual + predictor, both in coarse-level px
 
-    if seed is not None and skip_finest_refine < 1 and levels >= 3:
-        raise ValueError(
-            "temporal seeding with a full-resolution refine exceeds the "
-            "warp's static halo range; use skip_finest_refine >= 1")
+    if seed is not None:
+        # each executed refine level warps by the running estimate, whose
+        # reach includes the temporal clamp: check the actual per-level
+        # radius against the warp kernel's halo ceiling (eff_r <= 54,
+        # kernels/warp_matmul.py 256-col window) instead of a level-count
+        # heuristic, so every seeded config that would fail deep inside
+        # warp_blend_matmul gets this descriptive error instead
+        for _lvl in range(levels - 2, -1, -1):
+            if _lvl < skip_finest_refine:
+                continue
+            _reach = base_radius * 2 ** (levels - 1 - _lvl) + \
+                sum(refine_radius * 2 ** k for k in range(levels - 1 - _lvl))
+            _reach += TEMPORAL_CLAMP // 2 ** _lvl
+            if _reach > 54:
+                raise ValueError(
+                    "temporal seeding: the level-"
+                    f"{_lvl} refine warp reach ({_reach} px) exceeds the "
+                    "warp kernel's halo range (54 px); raise "
+                    "skip_finest_refine (the engine uses 1)")
 
     for lvl in range(levels - 2, -1, -1):
         p_l, q_l = pyr[lvl]

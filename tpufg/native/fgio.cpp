@@ -136,6 +136,22 @@ void fg_rgba_to_yuv444(const uint8_t* src, uint8_t* y, uint8_t* u, uint8_t* v,
   }
 }
 
+// 2x2 box average of a uint8 plane, (s + 2) >> 2 rounding — the "420jpeg"
+// chroma downsample for y4m egress (w, h are the FULL-size plane dims,
+// must be even; dst is (h/2) x (w/2))
+void fg_down2x2(const uint8_t* src, uint8_t* dst, int32_t w, int32_t h) {
+  int32_t cw = w / 2, ch = h / 2;
+  for (int32_t r = 0; r < ch; r++) {
+    const uint8_t* r0 = src + (size_t)(2 * r) * w;
+    const uint8_t* r1 = r0 + w;
+    uint8_t* d = dst + (size_t)r * cw;
+    for (int32_t c = 0; c < cw; c++) {
+      int s = r0[2 * c] + r0[2 * c + 1] + r1[2 * c] + r1[2 * c + 1];
+      d[c] = (uint8_t)((s + 2) >> 2);
+    }
+  }
+}
+
 // --------------------------------------------------------- prefetch ring
 // Reader thread decodes frames ahead into page-aligned slots.
 struct FgRing {
