@@ -101,11 +101,14 @@ def main():
     import tempfile
 
     trace_dir = tempfile.mkdtemp(prefix="tpufg_bench_trace_")
-    n_tr = 40
+    n_tr = 200  # >= 200 device samples so p99 is a real percentile
     jax.profiler.start_trace(trace_dir)
     last = None
     for i in range(n_tr):
         last = step(*pairs[i % len(pairs)])
+        if i % 25 == 24:  # periodic sync: bound the async queue depth
+            leaf = jax.tree_util.tree_leaves(last)[0]
+            _ = np.asarray(leaf[tuple(slice(0, 1) for _ in leaf.shape)])
     leaf = jax.tree_util.tree_leaves(last)[0]
     _ = np.asarray(leaf[tuple(slice(0, 1) for _ in leaf.shape)])
     jax.profiler.stop_trace()
@@ -126,11 +129,13 @@ def main():
     if durs:
         durs = np.array(durs)
         p50d = float(np.percentile(durs, 50)) / 2.0
+        p95d = float(np.percentile(durs, 95)) / 2.0
         p99d = float(np.percentile(durs, 99)) / 2.0
     else:  # trace unavailable (e.g. non-TPU run): fall back to steady mean
-        p50d = p99d = per_out_ms
+        p50d = p95d = p99d = per_out_ms
     log(f"device step durations from trace: n={len(durs)} "
-        f"p50 {p50d:.2f} p99 {p99d:.2f} ms/output frame (target < 8 ms)")
+        f"p50 {p50d:.2f} p95 {p95d:.2f} p99 {p99d:.2f} ms/output frame "
+        f"(target < 8 ms)")
 
     lats = []
     for i in range(12):
@@ -143,6 +148,8 @@ def main():
     log(f"host-synced step latency raw (relay-bound): "
         f"p50 {np.percentile(lats, 50):.1f} ms")
 
+    e2e_fps, sink_ms = bench_e2e(log)
+
     print(json.dumps({
         "metric": "1080p->4K interpolated output fps/chip (pyramid+warp+scale, bf16)",
         "value": round(out_fps, 1),
@@ -150,8 +157,96 @@ def main():
         "vs_baseline": round(out_fps / 60.0, 3),
         "per_output_frame_ms_steady": round(per_out_ms, 3),
         "paced_p50_ms_device": round(p50d, 2),
+        "paced_p95_ms_device": round(p95d, 2),
         "paced_p99_ms_device": round(p99d, 2),
+        "p99_trace_samples": int(len(durs)) if len(durs) else 0,
+        "e2e_y4m_fps": round(e2e_fps, 1),
+        "sink_write_ms_per_4k_frame": round(sink_ms, 2),
     }))
+
+
+def bench_e2e(log):
+    """Full-pipeline transcode: raw file -> native ingest ring -> device
+    (pyramid+warp+2x scale, device-side y4m420 conversion) -> Y4MSink.
+
+    On THIS environment host<->device crosses the axon relay
+    (~217 MB/s up, ~31 MB/s down), so the e2e rate is transfer-bound:
+    each 4K C420 output frame moves 12.4 MB back (~0.4 s) — the device-
+    side y4m conversion already cut that 2.7x vs the RGBA wire.  On a
+    production direct-attached host the same path is bounded by
+    min(device step rate, sink write rate); the sink leg is measured
+    separately below (sub-10 ms/4K frame: a buffer write, since color
+    conversion moved on-device).
+    """
+    import os
+    import tempfile
+
+    from tpufg.config import EngineConfig, resolve_sizes
+    from tpufg.engine.runner import StreamingEngine
+    from tpufg.io.sinks import AsyncSink, Y4MSink
+    from tpufg.io.sources import open_source
+
+    n_in = 24
+    rng = np.random.default_rng(7)
+    tmp = tempfile.mkdtemp(prefix="tpufg_e2e_")
+    raw_path = os.path.join(tmp, "in.raw")
+    base = rng.integers(0, 256, (1080 + n_in, 1920 + 2 * n_in, 4),
+                        dtype=np.uint8)
+    with open(raw_path, "wb") as f:
+        for i in range(n_in):  # panning crop: real motion for the search
+            f.write(np.ascontiguousarray(
+                base[i:1080 + i, 2 * i:1920 + 2 * i]).tobytes())
+    out_path = os.path.join(tmp, "out.y4m")
+
+    # sink leg alone, measured FIRST (before the transcode floods the page
+    # cache): with the color conversion on-device, egress is a payload
+    # buffer write — what a production host pays per 4K output frame
+    payload = rng.integers(0, 256, (2160 * 3 // 2, 3840), dtype=np.uint8)
+    sink_path = os.path.join(tmp, "sinkonly.y4m")
+    sink2 = Y4MSink(sink_path, 3840, 2160, fps=60.0, chroma="420")
+    sink2.write(payload)  # open + header
+    times = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        sink2.write(payload)
+        times.append(time.perf_counter() - t0)
+    sink_ms = float(np.median(times)) * 1e3
+    sink2.close()
+    os.remove(sink_path)
+    log(f"sink leg (4K C420 payload write, median of 30): "
+        f"{sink_ms:.2f} ms/frame -> {1e3 / sink_ms:.0f} fps")
+
+    cfg = resolve_sizes(EngineConfig(
+        input_width=1920, input_height=1080,
+        output_width=3840, output_height=2160,
+        dtype="bf16", motion_mode="pyramid"))
+    engine = StreamingEngine(cfg)
+    # warm the jit cache on the same sink wire so the timed run measures
+    # the pipeline, not XLA compilation
+    warm_sink = Y4MSink(os.devnull, 3840, 2160, fps=60.0, chroma="420")
+    engine.run(open_source(raw_path, 1920, 1080, "rgba"),
+               warm_sink, max_frames=3, paced=False)
+    warm_sink.close()
+
+    source = open_source(raw_path, 1920, 1080, "rgba")
+    sink = AsyncSink(Y4MSink(out_path, 3840, 2160, fps=60.0, chroma="420"))
+    t0 = time.perf_counter()
+    stats = engine.run(source, sink, paced=False)
+    sink.close()
+    source.close()
+    wall = time.perf_counter() - t0
+    e2e_fps = stats.frames_out / wall if wall > 0 else 0.0
+    out_mb = os.path.getsize(out_path) / 1e6
+    log(f"e2e 1080p->4K y4m420 transcode (warm): {stats.frames_in} in -> "
+        f"{stats.frames_out} out in {wall:.1f}s = {e2e_fps:.1f} output fps "
+        f"({out_mb:.0f} MB written; readback-bound on the relay-attached "
+        f"dev host — ~31 MB/s device->host, 12.4 MB per output frame)")
+
+    for p in (raw_path, out_path):
+        if os.path.exists(p):
+            os.remove(p)
+    os.rmdir(tmp)
+    return e2e_fps, sink_ms
 
 
 if __name__ == "__main__":

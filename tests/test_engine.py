@@ -692,3 +692,69 @@ class TestResume:
         # resumed[1:] must equal the tail of the full run
         for a, b in zip(resumed.frames[1:], full.frames[-4:]):
             np.testing.assert_array_equal(a, b)
+
+
+class TestPerPixelQuality:
+    def test_per_pixel_mode_beats_8px_on_shear(self, rng):
+        """--mv-grid 1 --subpel --mv-bias 0.1: per-pixel warp + sub-pel MV
+        refinement + aperture-stabilizing cost bias must decisively beat
+        the 8-px granularity point on within-block-varying motion (the
+        interpolate.comp:30-31 per-pixel-MV semantics, production path).
+        Measured r3: 37.9 dB vs 22.2 (8-px) vs 21.5 (16-px blocks)."""
+        from tpufg.utils.quality import psnr
+
+        h, w = 128, 128
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+
+        def frame(t):
+            shift = (ys * t) / 16.0
+            out = np.zeros((h, w, 4))
+            for i, period in enumerate([7.3, 11.1, 17.9, 29.0]):
+                out[..., i] = 127.5 + 100 * np.sin(
+                    2 * np.pi * (xs - shift) / period + i)
+            return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+        prev, curr, truth = frame(0), frame(2), frame(1)
+        inner = (slice(24, -24), slice(24, -24))
+        scores = {}
+        for tag, kw in (("pp", dict(mv_grid=1, subpel=True, mv_bias=0.1)),
+                        ("g8", dict(mv_grid=8))):
+            cfg = _cfg(input_width=w, input_height=h, output_width=w,
+                       output_height=h, motion_mode="pyramid", **kw)
+            out = np.asarray(make_interp_step(cfg)(
+                jnp.asarray(prev), jnp.asarray(curr))[0])
+            scores[tag] = psnr(truth[inner].astype(np.float64) / 255,
+                               out[inner].astype(np.float64) / 255)
+        assert scores["pp"] > scores["g8"] + 5, scores
+
+    def test_bias_zero_keeps_round2_field(self, rng):
+        """mv_bias=0 (the default) preserves the unbiased strict-< scan:
+        pyramid fields with and without bias=0.0 are identical."""
+        from tpufg.models.pyramid import pyramid_motion_search
+        base = rng.random((4, 128, 128)).astype(np.float32)
+        p = jnp.asarray(base)
+        c = jnp.asarray(np.roll(base, 3, axis=2).copy())
+        a = pyramid_motion_search(p, c, skip_finest_refine=1)
+        b = pyramid_motion_search(p, c, skip_finest_refine=1, bias=0.0)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_subpel_recovers_fractional_shift(self, rng):
+        """Sub-pel refinement on a half-pixel global shift: the refined
+        field must land within 0.35 px of the true fractional motion
+        (integer search alone is off by >= 0.5 px)."""
+        from tpufg.models.pyramid import pyramid_motion_search, subpel_refine
+
+        h, w = 128, 128
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+        def make(shift):
+            out = np.zeros((4, h, w), np.float32)
+            for i, period in enumerate([7.3, 11.1, 17.9, 29.0]):
+                out[i] = 0.5 + 0.4 * np.sin(
+                    2 * np.pi * (xs - shift) / period + i)
+            return out
+        p = jnp.asarray(make(0.0))
+        c = jnp.asarray(make(2.5))  # true backward flow dx = -2.5
+        mv = pyramid_motion_search(p, c, skip_finest_refine=1, bias=0.1)
+        mvr = np.asarray(subpel_refine(p, c, mv, bias=0.1))
+        inner = mvr[0][2:-2, 2:-2]
+        assert np.abs(inner + 2.5).max() < 0.35, inner

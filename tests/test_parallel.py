@@ -234,3 +234,51 @@ class TestShardedCLI:
         rc = main(["synthetic:128x256", "--devices", "999",
                    "--output-width", "256", "--no-pacing"])
         assert rc == 1
+
+
+class TestShardedLearned:
+    def test_sharded_learned_matches_single_chip_interior(self, devices,
+                                                          rng):
+        """Sharded learned mode: the conv trunk runs per shard on the
+        64-row-halo-extended rows (the trunk's receptive field + clamped
+        flow reach stay inside the halo), so interior rows must match the
+        single-chip learned step to <= 1 uint8 code."""
+        from tpufg.config import EngineConfig, resolve_sizes
+        from tpufg.engine.pipeline import make_interp_step
+        from tpufg.models import rife
+
+        params = rife.init_params(jax.random.PRNGKey(0), hidden=16)
+        mesh = make_spatial_mesh(4, dp=1)
+        in_h, in_w = 4 * HALO, 128
+        cfg = resolve_sizes(EngineConfig(
+            input_width=in_w, input_height=in_h,
+            output_width=in_w, output_height=in_h,
+            dtype="f32", motion_mode="learned"))
+        step = make_sharded_interp_step(mesh, cfg, model_params=params)
+        ref_step = make_interp_step(cfg, model_params=params)
+
+        base = rng.random((in_h + 16, in_w + 16, 4)).astype(np.float32)
+        for k in (1, 2):
+            base = (base + np.roll(base, k, 0) + np.roll(base, k, 1)) / 3
+        base = (base * 255).astype(np.uint8)
+        p = base[:in_h, :in_w]
+        c = base[8:8 + in_h, 4:4 + in_w]
+        out_i, out_c = step(jnp.asarray(p)[None], jnp.asarray(c)[None])
+        ref_i, ref_c = ref_step(jnp.asarray(p), jnp.asarray(c))
+        # away from the frame's outer edges (halo edge-replication differs
+        # from single-chip conv zero-padding there by design)
+        interior = (slice(HALO, -HALO), slice(8, -8))
+        d = np.abs(np.asarray(out_i[0])[interior].astype(int)
+                   - np.asarray(ref_i)[interior].astype(int))
+        assert d.max() <= 1, d.max()
+        assert (d > 0).mean() < 1e-3
+        np.testing.assert_array_equal(np.asarray(out_c[0]), np.asarray(ref_c))
+
+    def test_sharded_learned_requires_params(self, devices):
+        from tpufg.config import ConfigError, EngineConfig, resolve_sizes
+        mesh = make_spatial_mesh(4, dp=1)
+        cfg = resolve_sizes(EngineConfig(
+            input_width=128, input_height=4 * HALO,
+            motion_mode="learned"))
+        with pytest.raises(ConfigError):
+            make_sharded_interp_step(mesh, cfg)

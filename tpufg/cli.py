@@ -104,10 +104,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lanczos-a", type=int, default=3)
     p.add_argument("--block-size", type=int, default=8)
     p.add_argument("--search-radius", type=int, default=16)
-    p.add_argument("--mv-grid", type=int, choices=[16, 8], default=16,
-                   help="warp granularity: 16-px MV blocks, or 8 "
-                        "(bilinearly upsampled MV field, smoother motion "
-                        "boundaries at extra warp cost)")
+    p.add_argument("--mv-grid", type=int, choices=[16, 8, 1], default=16,
+                   help="warp granularity: 16-px MV blocks, 8 (bilinearly "
+                        "upsampled MV field), or 1 (per-pixel: bilinearly "
+                        "blended block warps — smoothest motion "
+                        "boundaries, ~2x warp cost)")
+    p.add_argument("--subpel", action="store_true",
+                   help="sub-pixel MV refinement: full-res ±1 px re-search "
+                        "+ parabolic fit (codec-style half-pel; best "
+                        "combined with --mv-grid 1)")
+    p.add_argument("--mv-bias", type=float, default=0.0, metavar="B",
+                   help="search-cost bias toward small displacements "
+                        "(codec zero/predictor preference; ~0.1 stabilizes "
+                        "the aperture problem on low-texture motion; "
+                        "0 = off, bitwise-parity scan)")
     p.add_argument("--mv-filter", action="store_true",
                    help="3x3 median filter on the MV field (kills isolated "
                         "outlier vectors)")
@@ -161,6 +171,8 @@ def main(argv: Optional[list[str]] = None) -> int:
         overlay=args.overlay,
         fps_multiplier=args.fps_multiplier,
         mv_grid=args.mv_grid,
+        subpel=args.subpel,
+        mv_bias=args.mv_bias,
         mv_filter=args.mv_filter,
         occlusion_blend=args.occlusion_blend,
         scene_cut_threshold=args.scene_cut,
@@ -241,7 +253,8 @@ def main(argv: Optional[list[str]] = None) -> int:
                     log.info("multi-chip transcode is offline: pacing off")
                 stats = run_sharded_stream(
                     cfg, source, sink, devices=args.devices, dp=args.dp,
-                    max_frames=args.frames, start_frame=args.start_frame)
+                    max_frames=args.frames, start_frame=args.start_frame,
+                    model_params=model_params)
             else:
                 stats = run_stream(cfg, source, sink,
                                    precision=args.precision,

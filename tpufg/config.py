@@ -58,9 +58,20 @@ class EngineConfig:
     # fps multiplication factor for streaming interpolation (30->60 is 2)
     fps_multiplier: int = 2
     # warp granularity in pixels: MVs are estimated on a 16-px lattice;
-    # 8 bilinearly upsamples the MV field before warping (closer to
-    # interpolate.comp's per-pixel bilinear MV read, at extra warp cost)
+    # 8 bilinearly upsamples the MV field before warping; 1 is the
+    # per-pixel mode — bilinearly blended block warps, the production
+    # counterpart of interpolate.comp's per-pixel bilinear MV read
     mv_grid: int = 16
+    # sub-pixel MV refinement: full-res ±1 px re-search + parabolic fit on
+    # the block-cost surface (codec-style half/quarter-pel) — lifts the
+    # integer-quantization quality ceiling on smooth motion
+    subpel: bool = False
+    # small-magnitude search-cost bias (codec zero/predictor preference):
+    # cost += mv_bias * (|dx| + |dy|) per candidate.  On near-flat cost
+    # surfaces (the aperture problem) the unbiased scan locks onto
+    # arbitrary extreme candidates; a small bias snaps them to the
+    # smallest displacement.  0 (default) keeps the bitwise-parity scan.
+    mv_bias: float = 0.0
     # 3x3 median filter on the MV lattice (kills isolated outlier vectors)
     mv_filter: bool = False
     # occlusion-aware blending: shift toward the temporally closer frame
@@ -100,9 +111,11 @@ class EngineConfig:
         if self.fps_multiplier < 2:
             raise ConfigError(
                 f"fps multiplier must be >= 2, got {self.fps_multiplier}")
-        if self.mv_grid not in (16, 8):
+        if self.mv_grid not in (16, 8, 1):
             raise ConfigError(
-                f"mv_grid must be 16 or 8, got {self.mv_grid}")
+                f"mv_grid must be 16, 8 or 1 (per-pixel), got {self.mv_grid}")
+        if self.mv_bias < 0.0:
+            raise ConfigError(f"mv_bias must be >= 0, got {self.mv_bias}")
         if not (0.0 <= self.scene_cut_threshold < 1.0):
             raise ConfigError(
                 "scene-cut threshold must be in [0,1), got "

@@ -53,18 +53,24 @@ def _edge_pad_chw(x: jax.Array, hp: int, wp: int) -> jax.Array:
     return jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
 
 
-def make_scale_step(cfg: EngineConfig, wire: str = "u8") -> Callable:
+def make_scale_step(cfg: EngineConfig, wire: str = "u8",
+                    sink_wire: str = "rgba") -> Callable:
     """uint8 [H, W, 4] -> scaled uint8 [outH, outW, 4]  (config 1 path).
 
     ``wire="i32"``: frames cross the host boundary as packed int32 [H, W]
     RGBA lanes instead (identical bytes; the host's uint8 view is free) —
     skips the on-device u8<->i32 bitcast relayouts (see frames_to_planar /
     lanczos_scale_packed raw_i32).
+
+    ``sink_wire="y4m420"/"y4m444"``: outputs leave the device as ready
+    y4m FRAME payload bytes (kernels/yuv.py) instead of RGBA — the color
+    conversion runs fused on-device and the C420 readback is 2.7x smaller.
     """
     out_h, out_w = cfg.output_height, cfg.output_width
     a = cfg.lanczos_a
     dt = _dtype(cfg)
     i32 = wire == "i32"
+    to_y4m = _sink_packer(sink_wire)
 
     @jax.jit
     def step(frame_u8):
@@ -74,15 +80,28 @@ def make_scale_step(cfg: EngineConfig, wire: str = "u8") -> Callable:
             # weight exactly 1 and the rest exactly 0 (sin(pi*k) = 0), and
             # the UNORM8 round-trip is exact (round(255*(k/255)) == k), so
             # the output bytes ARE the input bytes — pass through
-            return frame_u8
+            return to_y4m(frame_u8) if to_y4m else frame_u8
         # storage/elementwise stay f32 (bf16 storage costs ~1 uint8 code);
         # dt only selects the MXU operand precision
         planar = frames_to_planar(frame_u8, F32)
         # fused scale+quantize+pack: final wire bytes leave the kernel
-        return lanczos_scale_packed(planar, out_h, out_w, a,
-                                    compute_dtype=dt, raw_i32=i32)
+        out = lanczos_scale_packed(planar, out_h, out_w, a,
+                                   compute_dtype=dt,
+                                   raw_i32=i32 or to_y4m is not None)
+        return to_y4m(out) if to_y4m else out
 
     return step
+
+
+def _sink_packer(sink_wire: str):
+    """None for the RGBA wire, else the device-side y4m payload converter."""
+    if sink_wire == "rgba":
+        return None
+    if sink_wire in ("y4m420", "y4m444"):
+        from tpufg.kernels.yuv import rgba_to_y4m_payload
+        return functools.partial(rgba_to_y4m_payload,
+                                 chroma=sink_wire[3:])
+    raise ValueError(f"unknown sink wire {sink_wire!r}")
 
 
 def make_exact_scale_step(cfg: EngineConfig) -> Callable:
@@ -103,6 +122,7 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
                   search_radius: int, model_params=None,
                   interpret: bool | None = None,
                   skip_finest_refine: int = 1, mv_grid: int = MV_GRID,
+                  subpel: bool = False, mv_bias: float = 0.0,
                   mv_filter: bool = False,
                   occlusion_blend: bool = False,
                   scene_cut_threshold: float = 0.0,
@@ -117,10 +137,11 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
     interpolated frame per blend factor in ``factors``.
 
     ``mv_grid``: warp granularity.  16 warps whole MV-lattice blocks;
-    8 bilinearly upsamples the MV field to an 8-px lattice first — a step
-    toward interpolate.comp's per-pixel bilinear MV read
-    (shaders/interpolate.comp:30-31), trading warp cost for smoother
-    motion boundaries.
+    8 bilinearly upsamples the MV field to an 8-px lattice first;
+    1 is the per-pixel mode — exact bilinear MV interpolation along x and
+    overlapped block motion compensation along y (bilinearly blended block
+    warps), the production counterpart of interpolate.comp's per-pixel
+    bilinear MV read (shaders/interpolate.comp:30-31).
 
     ``scene_cut_threshold`` > 0: when mean |p - c| exceeds it, the pair
     straddles a cut — block matching finds no true correspondences and the
@@ -183,12 +204,33 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
             pp, cp, levels=PYR_LEVELS, base_radius=4,
             refine_radius=2, block_size=block_size, grid=MV_GRID,
             skip_finest_refine=skip_finest_refine, interpret=interpret,
-            seed=mv_seed)
-    else:  # exhaustive parity kernel, subsampled to the MV lattice
-        mv_px = motion_search_tiled(pp, cp, block_size=block_size,
-                                    search_radius=search_radius,
-                                    exact_box=False, interpret=interpret)
-        mv = mv_px[:, MV_GRID // 2::MV_GRID, MV_GRID // 2::MV_GRID]
+            seed=mv_seed, bias=mv_bias)
+    else:  # exhaustive (motion.comp semantics) at the MV lattice
+        if block_size * 2 <= MV_GRID and wp % 128 == 0:
+            # lattice-output kernel: bitwise the per-pixel field
+            # subsampled, ~2.5x less work per candidate (kernels/motion.py)
+            from tpufg.kernels.motion import motion_search_tiled_lattice
+            mv = motion_search_tiled_lattice(
+                pp, cp, grid=MV_GRID, block_size=block_size,
+                search_radius=search_radius, interpret=interpret)
+        else:
+            mv_px = motion_search_tiled(pp, cp, block_size=block_size,
+                                        search_radius=search_radius,
+                                        exact_box=False, interpret=interpret)
+            mv = mv_px[:, MV_GRID // 2::MV_GRID, MV_GRID // 2::MV_GRID]
+    # the warp clamps MVs to its static reach: the pyramid's own bound by
+    # default, extended to the temporal clamp + pyramid reach when seeded
+    r_warp = max(search_radius, 8)
+    if mv_seed is not None:
+        from tpufg.models.pyramid import TEMPORAL_CLAMP
+        r_warp = max(r_warp, TEMPORAL_CLAMP + 24)
+    if subpel:
+        # ±1 px re-search + parabolic sub-pel fit: the integer (2-px in
+        # latency mode) MV quantization, not warp granularity, is the
+        # quality ceiling on smooth motion — see models/pyramid.py
+        from tpufg.models.pyramid import subpel_refine
+        mv = subpel_refine(pp, cp, mv, grid=MV_GRID, search_radius=r_warp,
+                           bias=mv_bias, dtype=dt)
     if mv_filter:
         from tpufg.models.pyramid import median_filter_mv
         mv = median_filter_mv(mv)
@@ -199,19 +241,17 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
         mv_out = mv
         if cut is not None:
             mv_out = jnp.where(cut, jnp.zeros_like(mv), mv)
+    bilin = mv_grid == 1
     if mv_grid != MV_GRID:
         # bilinear MV-field upsample to the finer lattice: both lattices
         # have half-cell-centered sites, exactly jax.image.resize's
-        # "linear" convention, so cell centers interpolate correctly
-        f = MV_GRID // mv_grid
+        # "linear" convention, so cell centers interpolate correctly.
+        # Per-pixel mode (mv_grid=1) warps from an 8-px site lattice —
+        # the warp interpolates the rest: exactly along x, by bilinear
+        # value blending (OBMC) between the 8-px sites along y.
+        f = MV_GRID // (8 if bilin else mv_grid)
         mv = jax.image.resize(
             mv, (2, mv.shape[1] * f, mv.shape[2] * f), method="linear")
-    # the warp clamps MVs to its static reach: the pyramid's own bound by
-    # default, extended to the temporal clamp + pyramid reach when seeded
-    r_warp = max(search_radius, 8)
-    if mv_seed is not None:
-        from tpufg.models.pyramid import TEMPORAL_CLAMP
-        r_warp = max(r_warp, TEMPORAL_CLAMP + 24)
     # integer-offset fast path: pyramid latency-mode MVs are EVEN integers
     # (the final upsample doubles an integer lattice; the 3x3 median of
     # even integers is even), so at t=0.5 each frame's offsets are exact —
@@ -222,11 +262,13 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
     # makes the half-offset fractional) — disables it.
     int_offs = (mode == "pyramid" and skip_finest_refine >= 1
                 and mv_grid == MV_GRID and mv_seed is None
+                and not subpel
                 and all(tf == 0.5 for tf in factors)
                 and r_warp % 2 == 0)
     for tf in factors:  # one MV field shared by all time points
         warped = warp_blend_matmul(pp, cp, -mv, factor=tf,
-                                   block=mv_grid,
+                                   block=8 if bilin else mv_grid,
+                                   bilinear=bilin,
                                    search_radius=r_warp,
                                    dtype=dt, occlusion=occlusion_blend,
                                    integer_offsets=int_offs)
@@ -237,7 +279,8 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
 
 
 def make_interp_step(cfg: EngineConfig, precision: str = "fast",
-                     model_params=None, wire: str = "u8") -> Callable:
+                     model_params=None, wire: str = "u8",
+                     sink_wire: str = "rgba") -> Callable:
     """(prev_u8, curr_u8) -> (interp_scaled_u8, ..., curr_scaled_u8).
 
     The fps-multiplying streaming step.  With cfg.fps_multiplier == k it
@@ -269,6 +312,9 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
     if i32 and precision == "exact":
         raise ValueError("wire='i32' applies to the fast path only "
                          "(the exact oracle speaks uint8 frames)")
+    to_y4m = _sink_packer(sink_wire)
+    if to_y4m is not None and precision == "exact":
+        raise ValueError("sink_wire y4m applies to the fast path only")
 
     # Donating prev only pays when an output buffer can actually alias it:
     # the equal-size fps-multiply config (uint8 [H,W,4] in and out).  For
@@ -276,7 +322,7 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
     # warn "Some donated buffers were not usable" every run.  A temporal
     # step also donates the consumed MV seed (mv_out aliases it exactly).
     donate = ((out_h, out_w) == (cfg.input_height, cfg.input_width)
-              and cfg.input_height > 0)
+              and cfg.input_height > 0 and to_y4m is None)
     temporal = (bool(cfg.temporal_mv) and mode == "pyramid"
                 and precision != "exact")
     donate_idx = ((0,) if donate else ()) + ((2,) if temporal else ())
@@ -312,6 +358,8 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
                             block_size=b, search_radius=r,
                             model_params=model_params,
                             mv_grid=cfg.mv_grid,
+                            subpel=cfg.subpel,
+                            mv_bias=cfg.mv_bias,
                             mv_filter=cfg.mv_filter,
                             occlusion_blend=cfg.occlusion_blend,
                             scene_cut_threshold=cfg.scene_cut_threshold,
@@ -337,6 +385,9 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
             outs.append(curr_u8)
         else:
             outs.append(pack(c))
+        if to_y4m is not None:
+            # device-side y4m egress: outputs leave as FRAME payload bytes
+            outs = [to_y4m(o) for o in outs]
         if temporal:
             return tuple(outs) + (mv_out,)
         return tuple(outs)

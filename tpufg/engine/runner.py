@@ -60,18 +60,43 @@ class StreamingEngine:
         cfg.validate()
         self.cfg = cfg
         self.precision = precision
+        self.model_params = model_params
         self.log = get_logger()
         # fast path speaks the packed-int32 wire: identical bytes, free
         # uint8 views on the host, no u8<->i32 bitcast relayouts on-device
         self._wire = "u8" if precision == "exact" else "i32"
-        if cfg.enable_interpolation:
-            self._step2 = make_interp_step(
-                cfg, "exact" if precision == "exact" else "fast",
-                model_params=model_params, wire=self._wire)
-        self._step1 = (make_exact_scale_step(cfg) if precision == "exact"
-                       else make_scale_step(cfg, wire=self._wire))
+        self._steps_wire = None  # sink wire the built steps target
         self._fps_win = FpsWindow(cfg.fps_window)
         self._lat = LatencyRecorder()
+
+    def _sink_wire(self, sink: FrameSink) -> str:
+        """Negotiate the output wire: y4m sinks take ready FRAME payloads
+        converted on-device (kernels/yuv.py — byte-identical to the host
+        egress, 2.7x smaller C420 readback) when the fast path runs
+        without overlay burn-in (the overlay draws on host RGBA)."""
+        wf = getattr(sink, "wire_format", "rgba")
+        if (wf in ("y4m420", "y4m444") and self.precision != "exact"
+                and not self.cfg.overlay):
+            from tpufg.kernels.yuv import y4m_wire_ok
+            if y4m_wire_ok(self.cfg.output_height, self.cfg.output_width,
+                           wf[3:]):
+                return wf
+        return "rgba"
+
+    def _build_steps(self, sink_wire: str) -> None:
+        if self._steps_wire == sink_wire:
+            return
+        cfg = self.cfg
+        if cfg.enable_interpolation:
+            self._step2 = make_interp_step(
+                cfg, "exact" if self.precision == "exact" else "fast",
+                model_params=self.model_params, wire=self._wire,
+                sink_wire=sink_wire)
+        self._step1 = (make_exact_scale_step(cfg)
+                       if self.precision == "exact"
+                       else make_scale_step(cfg, wire=self._wire,
+                                            sink_wire=sink_wire))
+        self._steps_wire = sink_wire
 
     def run(self, source: FrameSource, sink: FrameSink,
             max_frames: Optional[int] = None, paced: bool = True,
@@ -83,6 +108,7 @@ class StreamingEngine:
         segment's first frame after the first segment)."""
         cfg = self.cfg
         stats = StreamStats()
+        self._build_steps(self._sink_wire(sink))
         # zero-copy slot sources (NativeRawSource) need each upload synced
         # before the iterator advances; capture before any re-wrapping
         sync_upload = bool(getattr(source, "zero_copy", False))
@@ -130,19 +156,25 @@ class StreamingEngine:
             return a
 
         def flush_pending():
+            # device->host readback via jax.device_get, NOT np.asarray:
+            # np.asarray on a jax array degenerates to per-element fetches
+            # on relay-attached devices (measured 150 s for a 0.5 MB frame
+            # vs wire speed through device_get)
+            import jax
             for arr in pending:
                 if not needs_host:
                     # e.g. NullSink benchmarking: frames stay on-device
                     sink.write(arr)
                 elif cfg.overlay:
                     from tpufg.engine.overlay import draw_stats
-                    # np.array: device readback is read-only; force a copy
+                    # np.array: readback may be read-only; force a copy
                     sink.write(draw_stats(
-                        as_u8(np.array(arr)), self._fps_win.fps,
+                        as_u8(np.array(jax.device_get(arr))),
+                        self._fps_win.fps,
                         (cfg.input_width, cfg.input_height),
                         (cfg.output_width, cfg.output_height)))
                 else:
-                    sink.write(as_u8(np.asarray(arr)))
+                    sink.write(as_u8(jax.device_get(arr)))
                 stats.frames_out += 1
             pending.clear()
 
@@ -228,7 +260,8 @@ def run_stream(cfg: EngineConfig, source: FrameSource, sink: FrameSink,
 def run_sharded_stream(cfg: EngineConfig, source: FrameSource,
                        sink: FrameSink, devices: int, dp: int = 1,
                        max_frames: Optional[int] = None,
-                       start_frame: int = 0) -> StreamStats:
+                       start_frame: int = 0,
+                       model_params=None) -> StreamStats:
     """Multi-chip offline transcode (SURVEY.md §2.4 DP/TP rows).
 
     Shards each frame's rows over the mesh's ``sp`` axis (ICI halo
@@ -240,6 +273,7 @@ def run_sharded_stream(cfg: EngineConfig, source: FrameSource,
     """
     import dataclasses
 
+    import jax
     import jax.numpy as jnp
 
     from tpufg.config import ConfigError
@@ -261,7 +295,7 @@ def run_sharded_stream(cfg: EngineConfig, source: FrameSource,
     out_h_pad = h_pad * out_h // in_h
     pcfg = dataclasses.replace(cfg, input_height=h_pad,
                                output_height=out_h_pad)
-    step = make_sharded_interp_step(mesh, pcfg)
+    step = make_sharded_interp_step(mesh, pcfg, model_params=model_params)
     scale0 = make_scale_step(cfg)  # very first frame: scale-only
     log.info(f"sharded transcode on mesh dp={dp} sp={sp} "
              f"({devices} devices), rows {in_h}->{h_pad} padded")
@@ -304,7 +338,9 @@ def run_sharded_stream(cfg: EngineConfig, source: FrameSource,
         pb = jnp.asarray(np.stack([pad_rows(p) for p, _ in full]))
         cb = jnp.asarray(np.stack([pad_rows(c) for _, c in full]))
         outs = step(pb, cb)
-        outs_np = [np.asarray(o[:, :out_h]) for o in outs]
+        # device_get, not np.asarray (pathological on relay-attached
+        # devices — see flush_pending in StreamingEngine.run)
+        outs_np = [jax.device_get(o[:, :out_h]) for o in outs]
         for d in range(n):  # emit in stream order; drop tail padding
             for o in outs_np:
                 emit(o[d])
@@ -320,12 +356,12 @@ def run_sharded_stream(cfg: EngineConfig, source: FrameSource,
         fps_win.tick()
         if not cfg.enable_interpolation:
             # scale-only transcode: no cross-frame dependence to shard
-            emit(np.asarray(scale0(jnp.asarray(frame))))
+            emit(jax.device_get(scale0(jnp.asarray(frame))))
             continue
         if prev is None:
             # stream start: no pair yet, emit the scaled first frame
             # (mirrors the single-chip engine's first iteration)
-            emit(np.asarray(scale0(jnp.asarray(frame))))
+            emit(jax.device_get(scale0(jnp.asarray(frame))))
         else:
             batch.append((prev, frame))
             if len(batch) == dp:

@@ -21,6 +21,10 @@ class FrameSink:
     #: sinks that serialize frames need them on the host; NullSink doesn't,
     #: letting the engine skip the device->host readback entirely
     needs_host = True
+    #: what write() accepts: "rgba" (uint8 [H, W, 4] frames), or
+    #: "y4m420"/"y4m444" — the sink ALSO accepts ready y4m FRAME payload
+    #: bytes as 2-D uint8 arrays (kernels/yuv.py device-side egress)
+    wire_format = "rgba"
 
     def write(self, frame: np.ndarray) -> None:
         raise NotImplementedError
@@ -127,10 +131,20 @@ class Y4MSink(FrameSink):
             f"YUV4MPEG2 W{width} H{height} F{num}:1000 Ip A1:1 {tag}\n"
             .encode())
 
+    @property
+    def wire_format(self):
+        return "y4m" + self._chroma
+
     def write(self, frame):
         if self._header is not None:
             self._f.write(self._header)
             self._header = None
+        if frame.ndim == 2:
+            # ready FRAME payload from the device-side egress conversion
+            # (kernels/yuv.py): planes already in stream order, just write
+            self._f.write(b"FRAME\n")
+            self._f.write(np.ascontiguousarray(frame).data)
+            return
         from tpufg.io import native
         planes = None
         if frame.shape[-1] == 4:
@@ -170,6 +184,7 @@ class AsyncSink(FrameSink):
         import threading
         self._inner = inner
         self.needs_host = inner.needs_host
+        self.wire_format = getattr(inner, "wire_format", "rgba")
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
         self._err: Optional[BaseException] = None
         self._done = object()

@@ -78,13 +78,14 @@ def motion_search_xla(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid", "block_size", "search_radius"))
+    jax.jit, static_argnames=("grid", "block_size", "search_radius", "bias"))
 def motion_search_lattice(
     prev: jax.Array,
     curr: jax.Array,
     grid: int = 16,
     block_size: int = 8,
     search_radius: int = 4,
+    bias: float = 0.0,
 ) -> jax.Array:
     """Block-lattice exhaustive search: MVs only at block centers.
 
@@ -156,6 +157,16 @@ def motion_search_lattice(
             cost = colsum[:, 0, :]
             for ky in range(1, b):
                 cost = cost + colsum[:, ky, :]        # [Hb, Wb]
+            if bias:
+                # small-magnitude preference (codec zero/predictor bias):
+                # on near-flat cost surfaces — the aperture problem, where
+                # a dy shift trades off against a dx shift — the strict-<
+                # scan otherwise locks onto arbitrary extreme candidates.
+                # A static per-candidate penalty proportional to |d| snaps
+                # those ties toward the smallest displacement (toward the
+                # PREDICTOR in seeded/residual searches).  bias=0 (the
+                # default) keeps the bitwise tie to the tiled kernel.
+                cost = cost + F32(bias * (abs(dx) + abs(dy)))
             upd = cost < best_cost       # strict <: first found wins
             best_cost = jnp.where(upd, cost, best_cost)
             best_dx = jnp.where(upd, F32(dx), best_dx)

@@ -42,7 +42,8 @@ OCC_SLOPE = 8.0
 
 
 def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
-              dtype, prec, max_off, integer_offsets=False):
+              dtype, prec, max_off, integer_offsets=False,
+              obmc=False, halo_r=None):
     """Warp one frame by per-block offsets.
 
     (A batched variant warping prev+curr in one pass with a leading frame
@@ -50,7 +51,8 @@ def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
     axis force layout copies that dwarf the saved per-op overhead — so the
     two-call form is kept.)
 
-    ext: [C, H + 2*halo, W'] edge-padded planar frame (compute dtype).
+    ext: [C, H + 2*halo_rows, W'] edge-padded planar frame (compute dtype);
+    halo_rows is ``halo`` (block mode) or ``halo_r`` (obmc mode).
     ix0/iy0: [n_by, n_bx] int32 floor offsets; fx/fy fractions.
     Returns [C, H, W].
 
@@ -58,45 +60,81 @@ def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
     latency-mode MVs are even, so at t=0.5 each frame's offsets are exact
     integers): the shift matrices collapse to a single 0/1 band and the
     vertical pass to a pure select — no lerp, no second row read.
+
+    ``obmc``: per-pixel-MV mode (interpolate.comp:30-31's bilinear MV
+    read).  ix0/fx/iy0/fy are then PER-COLUMN [n_by, W] offsets — the MV
+    lattice bilinearly interpolated along x at each band's own lattice
+    row — and each band warps the 2g rows its MV site influences (bands
+    centered on lattice sites, i.e. offset g/2 from block alignment).
+    The final output row blends the two overlapping bands with linear
+    cell-centered weights: exact bilinear-MV warping along x, overlapped
+    block motion compensation (value-domain bilinear) along y.  The
+    structure is identical — the horizontal shift matrices were already
+    per-column and the vertical one-hot mask per-(band, column); only the
+    band geometry and the final blend differ.
     """
     c = ext.shape[0]
-    band_rows = g + 2 * halo  # rows a band's blocks can reach (|off| <= halo-1)
-
-    # --- overlapping row bands: band by covers ext rows
-    # [by*g, by*g + band_rows) = global [by*g - halo, by*g + g + halo).
-    # Built from g-row groups with shifted slices + concat (a plain XLA
-    # gather materializes ~140 MB/frame and measured ~5x slower).
     we = ext.shape[-1]
-    n_seg = band_rows // g
-    assert band_rows % g == 0 and ext.shape[1] % g == 0
-    groups = ext.astype(dtype).reshape(c, ext.shape[1] // g, g, we)
     one = jnp.asarray(1.0, dtype)
     zero = jnp.asarray(0.0, dtype)
 
-    # only band rows [halo-max_off, halo+max_off+g+1) are ever read by the
-    # vertical pass below; trim to the enclosing 8-aligned window before
-    # the einsums (17% less band/einsum/hx traffic at the default halo=16,
-    # eff_r=8 — XLA folds the slice into the concat operands)
-    lo = max(0, (halo - max_off) // 8 * 8)
-    hi = min(band_rows, -(-(halo + max_off + g + 1) // 8) * 8)
-    band_rows = hi - lo
-    halo_v = halo - lo                 # vertical-slice origin within bands
+    if obmc:
+        # bands of 2g output rows centered on MV sites (c_j = j*g + g/2),
+        # built from 8-row groups at stride g (origin j*g + lo)
+        hr = halo_r
+        h_g = 8                        # sublane-aligned group height
+        out_rows = 2 * g
+        lo = max(0, (hr - g // 2 - max_off) // 8 * 8)
+        hi = -(-(hr + 3 * g // 2 + max_off + 1) // 8) * 8
+        assert hi <= g + 2 * hr and ext.shape[1] % h_g == 0, (hi, g, hr)
+        assert g % h_g == 0
+        band_rows = hi - lo
+        halo_v = hr - g // 2 - lo      # local row of band-output row 0
+        groups = ext.astype(dtype).reshape(c, ext.shape[1] // h_g, h_g, we)
+        step = g // h_g                # groups per band stride
+        g0 = lo // h_g
+        bands = jnp.concatenate(
+            [groups[:, g0 + i: g0 + i + step * (n_by - 1) + 1: step]
+             for i in range(band_rows // h_g)], axis=2)    # [C,n_by,R',We]
+        sx, fxc = ix0, fx              # already per-column [n_by, W]
+    else:
+        out_rows = g
+        band_rows = g + 2 * halo  # rows a band's blocks reach (|off|<=halo-1)
 
-    # one joint band tensor, segment slices taken afterwards.  (Banding
-    # the two 128-col segments separately — to skip the slice copies —
-    # measured 5.10 vs 4.52 ms/step: the duplicated concat reads cost
-    # more than the two slice materializations they save.)
-    bands = jnp.concatenate(
-        [groups[:, i:i + n_by] for i in range(n_seg)], axis=2
-    )[:, :, lo:hi]                                        # [C, n_by, R', We]
+        # --- overlapping row bands: band by covers ext rows
+        # [by*g, by*g + band_rows) = global [by*g - halo, by*g + g + halo).
+        # Built from g-row groups with shifted slices + concat (a plain XLA
+        # gather materializes ~140 MB/frame and measured ~5x slower).
+        n_seg = band_rows // g
+        assert band_rows % g == 0 and ext.shape[1] % g == 0
+        groups = ext.astype(dtype).reshape(c, ext.shape[1] // g, g, we)
+
+        # only band rows [halo-max_off, halo+max_off+g+1) are ever read by
+        # the vertical pass below; trim to the enclosing 8-aligned window
+        # before the einsums (17% less band/einsum/hx traffic at the
+        # default halo=16, eff_r=8 — XLA folds the slice into the concat
+        # operands)
+        lo = max(0, (halo - max_off) // 8 * 8)
+        hi = min(band_rows, -(-(halo + max_off + g + 1) // 8) * 8)
+        band_rows = hi - lo
+        halo_v = halo - lo             # vertical-slice origin within bands
+
+        # one joint band tensor, segment slices taken afterwards.  (Banding
+        # the two 128-col segments separately — to skip the slice copies —
+        # measured 5.10 vs 4.52 ms/step: the duplicated concat reads cost
+        # more than the two slice materializations they save.)
+        bands = jnp.concatenate(
+            [groups[:, i:i + n_by] for i in range(n_seg)], axis=2
+        )[:, :, lo:hi]                                    # [C, n_by, R', We]
+
+        sx = jnp.repeat(ix0, g, axis=1)                   # [n_by, W]
+        fxc = jnp.repeat(fx, g, axis=1)
 
     # --- horizontal: per-column 2-banded shift matrices.  Output col tile t
     # (128 wide) reads ext cols [t*128+1, t*128+128+2*halo) — a 256 window,
     # split into its two aligned 128-col segments -> two big batched
     # einsums.  (Fused one-hot variants along the LANE axis measured
     # 13-34 ms — lane-shifted slices defeat XLA fusion — vs 2.8 ms here.)
-    sx = jnp.repeat(ix0, g, axis=1)                       # [n_by, W]
-    fxc = jnp.repeat(fx, g, axis=1)
     n_tx = w // 128
     span = 256
     ii = jax.lax.broadcasted_iota(jnp.int32, (span, 128), 0)
@@ -138,25 +176,44 @@ def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
     # (iy0 is a single integer in [-max_off, max_off]), so the "sum" is a
     # select chain — bf16 accumulation is exact (terms are already
     # bf16-rounded) and drops a per-delta convert
-    iy0c = jnp.repeat(iy0, g, axis=1)[None, :, None, :]   # [1,n_by,1,W]
-    fyc = jnp.repeat(fy, g, axis=1)[None, :, None, :].astype(dtype)
-    out = jnp.zeros((c, n_by, g, w), dtype)
+    if obmc:
+        iy0c = iy0[None, :, None, :]                      # [1,n_by,1,W]
+        fyc = fy[None, :, None, :].astype(dtype)
+    else:
+        iy0c = jnp.repeat(iy0, g, axis=1)[None, :, None, :]
+        fyc = jnp.repeat(fy, g, axis=1)[None, :, None, :].astype(dtype)
+    out = jnp.zeros((c, n_by, out_rows, w), dtype)
     for delta in range(-max_off, max_off + 1):
         m = (iy0c == delta)
-        rows0 = hx[:, :, halo_v + delta: halo_v + delta + g, :]
+        rows0 = hx[:, :, halo_v + delta: halo_v + delta + out_rows, :]
         if integer_offsets:
             sel = rows0
         else:
-            rows1 = hx[:, :, halo_v + delta + 1: halo_v + delta + g + 1, :]
+            rows1 = hx[:, :, halo_v + delta + 1:
+                       halo_v + delta + out_rows + 1, :]
             sel = rows0 * (one - fyc) + rows1 * fyc
         out = out + jnp.where(m, sel, zero)
-    return out.reshape(c, h, w).astype(F32)
+    if not obmc:
+        return out.reshape(c, h, w).astype(F32)
+    # --- obmc assembly: output row y between MV site centers c_j and
+    # c_{j+1} blends band j (local row g+k) and band j+1 (local row k)
+    # with the cell-centered linear weight t = (k + 0.5)/g — the value-
+    # domain counterpart of the shader's bilinear MV read; rows above the
+    # first / below the last site clamp to the edge band (the MV texture's
+    # clamp-to-edge in interpolate.comp).
+    t_y = ((jnp.arange(g, dtype=F32) + F32(0.5)) / F32(g)).astype(dtype)
+    wy = t_y[None, None, :, None]
+    top = out[:, 0, g // 2: g, :]                         # rows [0, g/2)
+    mid = (out[:, :-1, g:, :] * (one - wy) + out[:, 1:, :g, :] * wy)
+    mid = mid.reshape(c, (n_by - 1) * g, w)
+    bot = out[:, -1, g: g + g // 2, :]                    # last g/2 rows
+    return jnp.concatenate([top, mid, bot], axis=1).astype(F32)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("factor", "block", "search_radius", "single", "dtype",
-                     "occlusion", "integer_offsets", "_valid_w"),
+                     "occlusion", "integer_offsets", "bilinear", "_valid_w"),
 )
 def warp_blend_matmul(
     prev: jax.Array,
@@ -169,6 +226,7 @@ def warp_blend_matmul(
     dtype=jnp.float32,
     occlusion: bool = False,
     integer_offsets: bool = False,
+    bilinear: bool = False,
     _valid_w: int | None = None,
 ) -> jax.Array:
     """Motion-compensated blend (production XLA/MXU path).
@@ -201,6 +259,7 @@ def warp_blend_matmul(
         out = warp_blend_matmul(prev, curr, mv, factor=factor, block=block,
                                 search_radius=search_radius, single=single,
                                 integer_offsets=integer_offsets,
+                                bilinear=bilinear,
                                 dtype=dtype, occlusion=occlusion, _valid_w=w)
         return out[:, :, :w]
     n_by, n_bx = h // g, w // g
@@ -217,6 +276,14 @@ def warp_blend_matmul(
         halo += 8
     if halo > 63:
         raise ValueError("search radius too large for the 256-col window")
+    if bilinear and integer_offsets:
+        raise ValueError("bilinear MV offsets are fractional by nature")
+    if bilinear and g % 8:
+        # obmc bands are built from 8-row groups (sublane alignment)
+        raise ValueError(f"bilinear warp needs block % 8 == 0, got {g}")
+    # obmc bands span 2g rows around MV sites: wider row halo (the column
+    # halo — the 256-window constraint — is unchanged)
+    halo_r = round_up(eff_r + g // 2 + 10, 8) if bilinear else halo
     prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
     t = F32(factor)
@@ -232,12 +299,19 @@ def warp_blend_matmul(
         # previously happened on the padded tensor) so the f32 extended
         # frame never touches HBM.
         return jnp.pad((x.astype(F32) - F32(0.5)).astype(dtype),
-                       ((0, 0), (halo, halo), (halo, 128 - halo)),
+                       ((0, 0), (halo_r, halo_r), (halo, 128 - halo)),
                        mode="edge")
 
     def offsets(scale):
         ox = mdx * scale
         oy = mdy * scale
+        if bilinear:
+            # per-column offsets: the MV lattice bilinearly interpolated
+            # along x (resize's half-cell-centered "linear" convention ==
+            # MV sites at block centers, clamped at edges — exactly the
+            # MV texture read of interpolate.comp:30-31 along this axis)
+            ox = jax.image.resize(ox, (n_by, w), method="linear")
+            oy = jax.image.resize(oy, (n_by, w), method="linear")
         ix0 = jnp.floor(ox)
         iy0 = jnp.floor(oy)
         return (ix0.astype(jnp.int32), ox - ix0,
@@ -245,19 +319,21 @@ def warp_blend_matmul(
 
     def oob_mask(scale):
         # shader blanking: sample uv outside [0,1] -> 0 (interpolate.comp:17)
-        px = (jnp.arange(w, dtype=F32)[None, :]
-              + jnp.repeat(mdx * scale, g, axis=1).repeat(g, axis=0)
-              [:h, :w])
-        py = (jnp.arange(h, dtype=F32)[:, None]
-              + jnp.repeat(mdy * scale, g, axis=1).repeat(g, axis=0)
-              [:h, :w])
+        if bilinear:
+            fx_pp = jax.image.resize(mdx * scale, (h, w), method="linear")
+            fy_pp = jax.image.resize(mdy * scale, (h, w), method="linear")
+        else:
+            fx_pp = jnp.repeat(mdx * scale, g, axis=1).repeat(g, axis=0)[:h, :w]
+            fy_pp = jnp.repeat(mdy * scale, g, axis=1).repeat(g, axis=0)[:h, :w]
+        px = jnp.arange(w, dtype=F32)[None, :] + fx_pp
+        py = jnp.arange(h, dtype=F32)[:, None] + fy_pp
         ok = ((px >= -0.5) & (px <= valid_w - 0.5)
               & (py >= -0.5) & (py <= h - 0.5))
         return ok.astype(F32)[None]
 
     valid_w = _valid_w if _valid_w is not None else w
     kw = dict(g=g, halo=halo, n_by=n_by, n_bx=n_bx, h=h, w=w,
-              integer_offsets=integer_offsets,
+              integer_offsets=integer_offsets, obmc=bilinear, halo_r=halo_r,
               dtype=dtype, prec=prec, max_off=eff_r)
     if single:
         return _warp_one(pad(prev), *offsets(F32(1.0)), **kw) + F32(0.5)

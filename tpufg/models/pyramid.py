@@ -78,10 +78,100 @@ def median_filter_mv(mv: jax.Array) -> jax.Array:
     return jnp.median(taps, axis=0).astype(mv.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("grid", "search_radius",
+                                             "bias", "iters", "dtype"))
+def subpel_refine(prev: jax.Array, curr: jax.Array, mv: jax.Array,
+                  grid: int = 16, search_radius: int = 16,
+                  bias: float = 0.0, iters: int = 2,
+                  dtype=jnp.float32) -> jax.Array:
+    """Full-resolution ±1 px re-search + parabolic sub-pixel fit.
+
+    The pyramid's MV field is integer-valued (and effectively 2-px
+    quantized in the engine's latency mode, where the finest refine is
+    skipped and level-1 integers are doubled).  On smoothly varying
+    motion that quantization — not warp granularity — is the quality
+    ceiling: the classic codec answer is half/quarter-pel refinement.
+
+    Per MV site: warp ``prev`` by the current estimate (one block warp),
+    evaluate the block cost (motion.comp:41-45's summed Euclidean RGBA
+    distance over the site's grid cell) at the 3x3 integer offsets around
+    it, take the argmin, then fit a 1-D parabola through the cost triple
+    along each axis for the fractional minimum (frac = 0 at the 3x3 rim,
+    where a neighbor is missing).  Nine fused full-frame difference maps +
+    block-sum reductions — far cheaper than a dense search level.
+
+    Returns the refined f32 field, same shape/units as ``mv``.
+    """
+    c, h, w = prev.shape
+    g = int(grid)
+    n_by, n_bx = h // g, w // g
+    p32 = prev.astype(F32)
+    c32 = curr.astype(F32)
+    iy = jnp.arange(n_by)[:, None]
+    ix = jnp.arange(n_bx)[None, :]
+
+    def parab(cm, c0, cp):
+        denom = cm - 2.0 * c0 + cp
+        frac = jnp.where(denom > F32(1e-6),
+                         F32(0.5) * (cm - cp) / denom, F32(0.0))
+        return jnp.clip(frac, -0.5, 0.5)
+
+    # ``iters`` rounds: when the integer re-search steps to the 3x3 rim
+    # the parabola has no bracketing neighbor there (frac = 0, error up to
+    # 0.5 px); the next round re-centers on the stepped estimate and fits
+    # the fraction.  Two rounds reach quarter-pel-class accuracy.
+    for _ in range(max(1, int(iters))):
+        # ``dtype`` speeds the probe warp (bf16 in production): costs
+        # only drive an argmin + parabola, which tolerate the rounding
+        warped = warp_blend_matmul(p32, p32, mv, block=g,
+                                   search_radius=int(search_radius),
+                                   single=True, dtype=dtype)
+        # pad by 1 so the ±1 shifted views are static slices
+        wp = jnp.pad(warped, ((0, 0), (1, 1), (1, 1)), mode="edge")
+
+        def cost(dy, dx):
+            d = wp[:, 1 + dy: 1 + dy + h, 1 + dx: 1 + dx + w] - c32
+            # Euclidean color distance per pixel (motion.comp:44), summed
+            # over the site's grid cell
+            e = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=0), F32(0.0)))
+            c_ = e.reshape(n_by, g, n_bx, g).sum((1, 3))
+            if bias:
+                # same small-step preference as motion_search_lattice:
+                # keep the current estimate on near-flat cost surfaces
+                c_ = c_ + F32(bias * (abs(dx) + abs(dy)))
+            return c_
+
+        costs = jnp.stack([jnp.stack([cost(dy, dx) for dx in (-1, 0, 1)])
+                           for dy in (-1, 0, 1)])         # [3, 3, by, bx]
+        flat = costs.reshape(9, n_by, n_bx)
+        best = jnp.argmin(flat, axis=0)                   # first-min ties
+        by, bx = best // 3 - 1, best % 3 - 1              # integer offsets
+        c0 = flat[best, iy, ix]
+
+        def axis_frac(off_this, off_other, axis):
+            # cost at (argmin +- 1) along `axis`, clamped at the 3x3 rim
+            om = jnp.clip(off_this - 1, -1, 1)
+            op = jnp.clip(off_this + 1, -1, 1)
+            if axis == 0:
+                cm = costs[om + 1, off_other + 1, iy, ix]
+                cp = costs[op + 1, off_other + 1, iy, ix]
+            else:
+                cm = costs[off_other + 1, om + 1, iy, ix]
+                cp = costs[off_other + 1, op + 1, iy, ix]
+            interior = (off_this == 0)
+            return jnp.where(interior, parab(cm, c0, cp), F32(0.0))
+
+        fy = axis_frac(by, bx, 0)
+        fx = axis_frac(bx, by, 1)
+        mv = jnp.stack([mv[0] + bx.astype(F32) + fx,
+                        mv[1] + by.astype(F32) + fy])
+    return mv
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("levels", "base_radius", "refine_radius", "block_size",
-                     "grid", "interpret", "skip_finest_refine"),
+                     "grid", "interpret", "skip_finest_refine", "bias"),
 )
 def pyramid_motion_search(
     prev: jax.Array,
@@ -94,6 +184,7 @@ def pyramid_motion_search(
     interpret: bool | None = None,
     skip_finest_refine: int = 0,
     seed: jax.Array | None = None,
+    bias: float = 0.0,
 ) -> jax.Array:
     """Coarse-to-fine block-matching motion estimation.
 
@@ -148,7 +239,7 @@ def pyramid_motion_search(
     if _lattice_ok(base_radius, block_size, grid):
         mv = motion_search_lattice(
             p0, q0, grid=grid, block_size=block_size,
-            search_radius=base_radius)
+            search_radius=base_radius, bias=bias)
     else:
         # 64-row tiles win at coarse-level sizes (measured 1.8 vs 4.2 ms
         # at 272x480: less edge-tile padding waste, more VMEM headroom)
@@ -202,7 +293,7 @@ def pyramid_motion_search(
         if _lattice_ok(refine_radius, block_size, grid):
             res = motion_search_lattice(
                 warped, q_l, grid=grid, block_size=block_size,
-                search_radius=refine_radius)
+                search_radius=refine_radius, bias=bias)
         else:
             res_px = motion_search_tiled(
                 warped, q_l, block_size=block_size,

@@ -75,6 +75,7 @@ def make_sharded_interp_step(
     mesh: Mesh,
     cfg: EngineConfig,
     interpret: bool | None = None,
+    model_params=None,
 ) -> Callable:
     """Jit'd multi-chip fps-multiplying step — the PRODUCTION pipeline math
     (tpufg.engine.pipeline.interp_planar: pyramid with skip_finest_refine=1,
@@ -106,11 +107,13 @@ def make_sharded_interp_step(
     in_h, in_w = cfg.input_height, cfg.input_width
     out_h, out_w = cfg.output_height, cfg.output_width
     mode = cfg.motion_mode
-    if mode == "learned":
+    if mode == "learned" and model_params is None:
         raise ConfigError(
-            "sharded step does not support motion_mode='learned' "
-            "(the conv head needs its own halo plan); use dp-only training "
-            "shardings in tpufg.models.rife")
+            "motion_mode='learned' requires model_params (--model-path)")
+    # learned-mode halo adequacy: the trunk's receptive field (five 3x3
+    # convs, two at stride 2 -> ~±20 full-res px) plus the clamped flow
+    # reach (±16 px/frame, rife.interpolate_fast max_flow) stays well
+    # inside the 64-row halo, so the same exchange covers the conv head.
     if cfg.temporal_mv:
         raise ConfigError(
             "--temporal-mv is a single-chip streaming feature (the MV "
@@ -149,6 +152,8 @@ def make_sharded_interp_step(
             p_ext, c_ext, mode=mode, factors=factors, dt=dt,
             block_size=cfg.block_size, search_radius=cfg.search_radius,
             interpret=interpret, mv_grid=cfg.mv_grid,
+            model_params=model_params,
+            subpel=cfg.subpel, mv_bias=cfg.mv_bias,
             mv_filter=cfg.mv_filter, occlusion_blend=cfg.occlusion_blend,
             # pmean over sp: all spatial shards must agree on the cut
             # decision or the fallback would seam at shard boundaries
