@@ -63,34 +63,3 @@ def test_lattice_rejects_out_of_cell_radius(rng):
         motion_search_lattice(x, x, grid=16, block_size=8, search_radius=5)
     with pytest.raises(ValueError):
         motion_search_lattice(x[:, :30, :], x[:, :30, :], grid=16)
-
-
-class TestLatticeTiledKernel:
-    """motion_search_tiled_lattice: the production config-3 kernel —
-    bitwise the per-pixel exhaustive field subsampled at the lattice."""
-
-    @pytest.mark.parametrize("hw,r", [((64, 128), 8), ((64, 128), 16),
-                                      ((96, 256), 16), ((48, 128), 4)])
-    def test_bitwise_vs_perpixel_subsampled(self, rng, hw, r):
-        from tpufg.kernels.motion import (motion_search_tiled,
-                                          motion_search_tiled_lattice)
-        h, w = hw
-        p = jnp.asarray(rng.random((4, h, w)).astype(np.float32))
-        c = jnp.asarray((rng.random((4, h, w)) * 0.1
-                         + np.roll(np.asarray(p), 3, 2) * 0.9
-                         ).astype(np.float32))
-        full = motion_search_tiled(p, c, block_size=8, search_radius=r,
-                                   exact_box=False)
-        lat = motion_search_tiled_lattice(p, c, grid=16, block_size=8,
-                                          search_radius=r)
-        np.testing.assert_array_equal(
-            np.asarray(full)[:, 8::16, 8::16], np.asarray(lat))
-
-    def test_rejects_bad_geometry(self, rng):
-        from tpufg.kernels.motion import motion_search_tiled_lattice
-        p = jnp.zeros((4, 60, 128), jnp.float32)  # H % 16 != 0
-        with pytest.raises(ValueError):
-            motion_search_tiled_lattice(p, p, grid=16)
-        p2 = jnp.zeros((4, 64, 128), jnp.float32)
-        with pytest.raises(ValueError):  # block > grid/2
-            motion_search_tiled_lattice(p2, p2, grid=16, block_size=12)

@@ -163,29 +163,3 @@ class TestStepOnChip:
             y, u, v = _rgb_to_bt601(rgba[..., :3])
             host = y.tobytes() + _down2x2(u).tobytes() + _down2x2(v).tobytes()
             assert np.asarray(jax.device_get(p)).tobytes() == host
-
-
-class TestLatticeMotionOnChip:
-    def test_lattice_vs_perpixel(self, rng):
-        """Compiled lattice kernel == compiled per-pixel kernel subsampled
-        (the 3.3x config-3 speedup must not change the field).
-
-        Content is correlated (shifted + noise), not independent random:
-        on all-tie random content the chip's compiler may group FMAs
-        differently between the two kernels' code shapes, flipping
-        argmins whose costs differ by sub-ulp rounding — the math and
-        accumulation order are identical (bitwise across geometries in
-        the interpret-mode suite, tests/test_motion_xla.py)."""
-        from tpufg.kernels.motion import (motion_search_tiled,
-                                          motion_search_tiled_lattice)
-        base = rng.random((4, 128, 256)).astype(np.float32)
-        p = jnp.asarray(base)
-        c = jnp.asarray((np.roll(base, 3, 2) * 0.9
-                         + rng.random((4, 128, 256)) * 0.1
-                         ).astype(np.float32))
-        full = motion_search_tiled(p, c, block_size=8, search_radius=16,
-                                   exact_box=False, interpret=False)
-        lat = motion_search_tiled_lattice(p, c, grid=16, block_size=8,
-                                          search_radius=16, interpret=False)
-        np.testing.assert_array_equal(
-            np.asarray(full)[:, 8::16, 8::16], np.asarray(lat))

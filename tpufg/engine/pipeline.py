@@ -205,19 +205,21 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
             refine_radius=2, block_size=block_size, grid=MV_GRID,
             skip_finest_refine=skip_finest_refine, interpret=interpret,
             seed=mv_seed, bias=mv_bias)
-    else:  # exhaustive (motion.comp semantics) at the MV lattice
-        if block_size * 2 <= MV_GRID and wp % 128 == 0:
-            # lattice-output kernel: bitwise the per-pixel field
-            # subsampled, ~2.5x less work per candidate (kernels/motion.py)
-            from tpufg.kernels.motion import motion_search_tiled_lattice
-            mv = motion_search_tiled_lattice(
-                pp, cp, grid=MV_GRID, block_size=block_size,
-                search_radius=search_radius, interpret=interpret)
-        else:
-            mv_px = motion_search_tiled(pp, cp, block_size=block_size,
-                                        search_radius=search_radius,
-                                        exact_box=False, interpret=interpret)
-            mv = mv_px[:, MV_GRID // 2::MV_GRID, MV_GRID // 2::MV_GRID]
+    else:  # exhaustive parity kernel, subsampled to the MV lattice.
+        # Tile tuning (r3): 64x512 tiles + 3-wide roll chunks measured
+        # 98.9 vs 133.5 ms at 1080p r=16 (less per-candidate fixed cost).
+        # Two lattice-output variants that skipped the non-site rows were
+        # measured faster still (~40 ms) but are dead ends, recorded so
+        # they are not retried: a Pallas site-row kernel MISCOMPILED on
+        # real hardware twice (garbage MVs) while passing interpret mode
+        # (sublane reshapes, then 8-site batching), and a pure-XLA band
+        # decomposition over shifted in-cell lattice searches was
+        # bitwise-correct but compiled for >8 minutes even at 64x128.
+        mv_px = motion_search_tiled(pp, cp, block_size=block_size,
+                                    search_radius=search_radius,
+                                    exact_box=False, interpret=interpret,
+                                    tile_h=64, tile_w=512, dx_chunk=3)
+        mv = mv_px[:, MV_GRID // 2::MV_GRID, MV_GRID // 2::MV_GRID]
     # the warp clamps MVs to its static reach: the pyramid's own bound by
     # default, extended to the temporal clamp + pyramid reach when seeded
     r_warp = max(search_radius, 8)

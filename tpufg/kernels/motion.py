@@ -157,221 +157,6 @@ def _motion_kernel(prev_ref, curr_ref, out_ref, prev_s, curr_s, sem,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "block_size", "search_radius", "tile_w",
-                     "interpret", "dx_chunk"),
-)
-def motion_search_tiled_lattice(
-    prev: jax.Array,
-    curr: jax.Array,
-    grid: int = 16,
-    block_size: int = 8,
-    search_radius: int = 16,
-    tile_w: int = 0,
-    interpret: bool | None = None,
-    dx_chunk: int = 0,
-) -> jax.Array:
-    """Exhaustive block matching evaluated ONLY at grid-cell centers.
-
-    Same candidate set, cost math, accumulation order and strict-< scan
-    as ``motion_search_tiled(exact_box=False)`` — the output is bitwise
-    the per-pixel field subsampled at ``[g/2::g, g/2::g]`` (pinned across
-    geometries in interpret mode and on correlated content by the
-    tpu-marked lane; on real hardware compiler FMA grouping can differ
-    between the two kernels' code shapes, flipping argmins only where two
-    candidates' costs agree to sub-ulp — measure-zero on real content) —
-    but each grid step scores just the b block rows under 8 lattice site
-    rows, so the distance/box-sum work shrinks ~4x and the argmin state
-    to [1, TW] per site row.  Every operand stays a plain 2-D
-    [sublanes, lanes] value: an earlier variant that sliced site rows out
-    of full tiles with sublane reshapes miscompiled on real hardware
-    while passing interpret mode, and Mosaic rejects 1-row VMEM slices —
-    hence the 8-site-row batching, which makes the output block an
-    aligned (2, 8, TW).  This is the production config-3 kernel
-    (reference motion.comp semantics at full radius, lattice
-    consumption); the per-pixel kernel remains the parity engine.
-
-    Requires H, W divisible by ``grid``, ``block_size <= grid/2`` (which
-    also keeps every site block fully in-image — no validity mask), and
-    ``grid`` a multiple of 16.  Returns f32 [2, H/grid, W/grid].
-    """
-    if interpret is None:
-        interpret = use_interpret()
-    n_ch, H, W = prev.shape
-    b = int(block_size)
-    r = int(search_radius)
-    g = int(grid)
-    anchor = b // 2
-    if H % g or W % g:
-        raise ValueError(f"frame {H}x{W} not divisible by grid {g}")
-    if b > g // 2:
-        raise ValueError(f"lattice path needs block {b} <= grid/2 = {g // 2}")
-    if g % 16:
-        # block row 0 sits at padded row g*sr + g/2, which must be
-        # sublane-aligned (8) for every site row sr
-        raise ValueError(f"grid {g} must be a multiple of 16")
-
-    # 8 site rows per grid step: pad the frame so H covers whole groups
-    # (edge rows search over replicated content; cropped after)
-    n_sr = H // g
-    n_grp = cdiv(n_sr, 8)
-    Hp = n_grp * 8 * g
-    if Hp != H:
-        prev = jnp.pad(prev, ((0, 0), (0, Hp - H), (0, 0)), mode="edge")
-        curr = jnp.pad(curr, ((0, 0), (0, Hp - H), (0, 0)), mode="edge")
-
-    # column tiles must divide the frame exactly
-    if tile_w:
-        TW = tile_w
-    else:
-        TW = min(640, (W // 128) * 128)
-        while TW > 0 and (W % TW or TW % 128):
-            TW -= 128
-    if TW <= 0 or W % TW:
-        raise ValueError(f"no 128-aligned column tile divides W = {W}")
-    n_tx = W // TW
-
-    ext = TW + b - 1
-    cu_cols = round_up(ext + anchor, 128)
-    pr_cols = round_up(ext + 2 * r, 128)
-    # rows per group: 8 site rows at stride g, each with a
-    # [0, 2r + b + 8) dy window from its own base
-    w_one = round_up(2 * r + b + 8, 8)
-    cu_rows = 7 * g + 8
-    pr_rows = 7 * g + w_one
-
-    # padded row of site row sr's block row 0 is g*sr + g/2 (8-aligned):
-    # curr top margin = anchor, prev top margin = r + anchor (clamp-to-edge)
-    curr_p = jnp.pad(
-        curr.astype(F32),
-        ((0, 0), (anchor, g + cu_rows),
-         (anchor, (n_tx - 1) * TW + cu_cols - W - anchor)),
-    )
-    prev_p = jnp.pad(
-        prev.astype(F32),
-        ((0, 0), (r + anchor, r + anchor + pr_rows),
-         (r + anchor, (n_tx - 1) * TW + pr_cols - W - r - anchor)),
-        mode="edge",
-    )
-
-    kernel = functools.partial(
-        _motion_lattice_kernel, TW=TW, r=r, b=b, g=g, n_ch=n_ch,
-        cu_rows=cu_rows, pr_rows=pr_rows, pr_cols=pr_cols, cu_cols=cu_cols,
-        dx_chunk=dx_chunk,
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(n_grp, n_tx),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((2, 8, TW), lambda srg, tx: (0, srg, tx)),
-        out_shape=jax.ShapeDtypeStruct((2, n_grp * 8, n_tx * TW), F32),
-        scratch_shapes=[
-            pltpu.VMEM((n_ch, pr_rows, pr_cols), F32),
-            pltpu.VMEM((n_ch, cu_rows, cu_cols), F32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-    )(prev_p, curr_p)
-    # crop padded site rows; site columns at g/2 + g*j
-    return out[:, :n_sr, g // 2::g]
-
-
-def _motion_lattice_kernel(prev_ref, curr_ref, out_ref, prev_s, curr_s,
-                           sem, *, TW, r, b, g, n_ch, cu_rows, pr_rows,
-                           pr_cols, cu_cols, dx_chunk):
-    """Lattice-output kernel body: 8 site rows of the g-lattice per grid
-    step, every operand a plain 2-D [rows, lanes] value (see the wrapper
-    docstring for why).  Site row k's block rows sit at scratch rows
-    [k*g, k*g + b) (curr) and [k*g + dy_idx, ... + b) (prev); dist values
-    and the col-then-row box-sum order are bitwise the per-pixel
-    kernel's (the validity mask is identically 1 at site blocks).
-    """
-    srg = pl.program_id(0)
-    tx = pl.program_id(1)
-    ext = TW + b - 1
-
-    base = pl.multiple_of(srg * (8 * g) + g // 2, 8)  # block row 0, site 0
-    col0 = pl.multiple_of(tx * TW, 128)
-    cdma = pltpu.make_async_copy(
-        curr_ref.at[:, pl.ds(base, cu_rows), pl.ds(col0, cu_cols)],
-        curr_s, sem.at[0])
-    pdma = pltpu.make_async_copy(
-        prev_ref.at[:, pl.ds(base, pr_rows), pl.ds(col0, pr_cols)],
-        prev_s, sem.at[1])
-    cdma.start()
-    pdma.start()
-    cdma.wait()
-    pdma.wait()
-
-    curr_c = [[curr_s[c, k * g:k * g + b, 0:ext].astype(F32)
-               for c in range(n_ch)] for k in range(8)]
-
-    def dy_body(dy_idx, state):
-        dyf = (dy_idx - r).astype(F32)
-        q8 = (dy_idx // 8) * 8
-        jres = dy_idx % 8
-        n_dx = 2 * r + 1
-        chunk = dx_chunk if dx_chunk else (3 if n_dx % 3 == 0 else 1)
-
-        state = list(state)
-        for k in range(8):
-            # site row k: 8-aligned 16-row window + static-switch residue
-            shifted = []
-            for c in range(n_ch):
-                win = prev_s[c, pl.ds(pl.multiple_of(k * g + q8, 8), b + 8),
-                             :]
-                shifted.append(jax.lax.switch(
-                    jres,
-                    [(lambda bb, kk=kk: bb[kk:kk + b, :])
-                     for kk in range(8)],
-                    win,
-                ))
-
-            def dx_chunk_body(ch_idx, st, shifted=shifted, k=k):
-                rolled = [pltpu.roll(shifted[c], -(ch_idx * chunk), 1)
-                          for c in range(n_ch)]
-                for kc in range(chunk):
-                    best_cost, best_dx, best_dy = st
-                    dxf = (ch_idx * chunk + kc - r).astype(F32)
-                    d = curr_c[k][0] - rolled[0][:, kc:kc + ext]
-                    acc = d * d
-                    for c in range(1, n_ch):
-                        d = curr_c[k][c] - rolled[c][:, kc:kc + ext]
-                        acc = acc + d * d
-                    dist = jnp.sqrt(acc)                   # [b, ext]
-                    # separable box-sum in the per-pixel kernel's exact
-                    # sequential order: cols (kx asc.), rows (ky asc.)
-                    colsum = dist[:, 0:TW]
-                    for kx in range(1, b):
-                        colsum = colsum + dist[:, kx:kx + TW]
-                    cost = colsum[0:1, :]
-                    for ky in range(1, b):
-                        cost = cost + colsum[ky:ky + 1, :]  # [1, TW]
-                    upd = cost < best_cost
-                    best_cost = jnp.where(upd, cost, best_cost)
-                    best_dx = jnp.where(upd, dxf, best_dx)
-                    best_dy = jnp.where(upd, dyf, best_dy)
-                    st = (best_cost, best_dx, best_dy)
-                return st
-
-            state[k] = jax.lax.fori_loop(0, n_dx // chunk, dx_chunk_body,
-                                         state[k])
-        return tuple(state)
-
-    init = tuple(
-        (jnp.full((1, TW), 1e10, F32),
-         jnp.zeros((1, TW), F32),
-         jnp.zeros((1, TW), F32))
-        for _ in range(8))
-    final = jax.lax.fori_loop(0, 2 * r + 1, dy_body, init)
-    out_ref[0] = jnp.concatenate([final[k][1] for k in range(8)], axis=0)
-    out_ref[1] = jnp.concatenate([final[k][2] for k in range(8)], axis=0)
-
-
-@functools.partial(
-    jax.jit,
     static_argnames=("block_size", "search_radius", "tile_h", "tile_w",
                      "interpret", "exact_box", "dx_chunk"),
 )

@@ -78,7 +78,8 @@ def motion_search_xla(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid", "block_size", "search_radius", "bias"))
+    jax.jit, static_argnames=("grid", "block_size", "search_radius", "bias",
+                              "return_cost"))
 def motion_search_lattice(
     prev: jax.Array,
     curr: jax.Array,
@@ -86,6 +87,7 @@ def motion_search_lattice(
     block_size: int = 8,
     search_radius: int = 4,
     bias: float = 0.0,
+    return_cost: bool = False,
 ) -> jax.Array:
     """Block-lattice exhaustive search: MVs only at block centers.
 
@@ -121,6 +123,13 @@ def motion_search_lattice(
         raise ValueError(
             f"radius {r} leaves the grid cell (need r + b/2 <= g/2); "
             "use motion_search_tiled")
+    return _lattice_impl(prev, curr, g, b, r, bias, return_cost)
+
+
+def _lattice_impl(prev, curr, g, b, r, bias, return_cost):
+    """Unjitted search body (shared so callers can vmap it)."""
+    n_ch, h, w = prev.shape
+    off = (g - b) // 2
     hb, wb = h // g, w // g
 
     # [C, Hb, g, Wb, g]: one layout pass each, then only static slices
@@ -171,4 +180,6 @@ def motion_search_lattice(
             best_cost = jnp.where(upd, cost, best_cost)
             best_dx = jnp.where(upd, F32(dx), best_dx)
             best_dy = jnp.where(upd, F32(dy), best_dy)
+    if return_cost:
+        return jnp.stack([best_dx, best_dy]), best_cost
     return jnp.stack([best_dx, best_dy])
