@@ -168,24 +168,28 @@ def _scale_kernel(row_start_ref, col_start_ref, img_ref, by_ref, bx_ref,
         span_ref.at[slot], sem.at[slot],
     ).wait()
     span_ref = span_ref.at[slot]
-    # image operands must keep >= 8-bit-code precision: a single-pass bf16
-    # matmul costs +-1/2 uint8 code and fails the 0.999-SSIM gate.  With
-    # f32 storage and bf16 compute, each pass splits the image into bf16
-    # hi+lo halves (2 MXU passes, f32 accumulate — Mosaic has no
-    # Precision.HIGH); weights stay bf16, their rounding is a fixed
-    # sub-1e-3 filter perturbation on centered data.
-    # (a single-pass centered bf16 variant measured the same speed — the
-    # kernel is DMA-bound, the extra MXU pass is hidden — and fails the
-    # SSIM gate on noise content; the split stays)
+    # both operands must keep >= 8-bit-code precision: a single-pass bf16
+    # matmul costs +-1/2 uint8 code, and bf16-rounded WEIGHTS carry a
+    # systematic per-output-pixel gain error (their per-axis sum lands
+    # ~2^-9 off 1) that the SSIM gate catches on smooth natural content
+    # (r3: 0.9987 measured with split-image/bf16-weight passes).  Each
+    # pass therefore splits BOTH operands into bf16 hi+lo halves and
+    # takes the three significant products (hi*hi + hi*lo + lo*hi, f32
+    # accumulate — ~2^-18 accuracy; Mosaic has no Precision.HIGH); the
+    # kernel is DMA-bound, so the third MXU pass is largely hidden.
     if compute_dtype == jnp.bfloat16 and span_ref.dtype == jnp.float32:
-        def split_dot(a_f32, b_bf16, swap=False):
-            hi = a_f32.astype(jnp.bfloat16)
-            lo = (a_f32 - hi.astype(F32)).astype(jnp.bfloat16)
+        def split_dot(a_f32, b_f32, swap=False):
+            ah = a_f32.astype(jnp.bfloat16)
+            al = (a_f32 - ah.astype(F32)).astype(jnp.bfloat16)
+            bh = b_f32.astype(jnp.bfloat16)
+            bl = (b_f32 - bh.astype(F32)).astype(jnp.bfloat16)
             if swap:
-                return (jnp.dot(b_bf16, hi, preferred_element_type=F32)
-                        + jnp.dot(b_bf16, lo, preferred_element_type=F32))
-            return (jnp.dot(hi, b_bf16, preferred_element_type=F32)
-                    + jnp.dot(lo, b_bf16, preferred_element_type=F32))
+                return (jnp.dot(bh, ah, preferred_element_type=F32)
+                        + jnp.dot(bl, ah, preferred_element_type=F32)
+                        + jnp.dot(bh, al, preferred_element_type=F32))
+            return (jnp.dot(ah, bh, preferred_element_type=F32)
+                    + jnp.dot(ah, bl, preferred_element_type=F32)
+                    + jnp.dot(al, bh, preferred_element_type=F32))
 
         tmp = split_dot(span_ref[:], bx_ref[0])           # [S_y, T_ox]
         out = split_dot(tmp, by_ref[0], swap=True)        # [T_oy, T_ox]
@@ -247,15 +251,20 @@ def _scale_packed_kernel(row_start_ref, col_start_ref, img_ref, by_ref,
     def one_channel(ci):
         ch = sp[ci]
         if compute_dtype == jnp.bfloat16 and ch.dtype == jnp.float32:
-            # split-dot: same math as _scale_kernel (see rationale there)
-            def split_dot(a_f32, b_bf16, swap=False):
-                hi = a_f32.astype(jnp.bfloat16)
-                lo = (a_f32 - hi.astype(F32)).astype(jnp.bfloat16)
+            # split-dot: same math as _scale_kernel (see rationale there
+            # — both operands split, three significant products)
+            def split_dot(a_f32, b_f32, swap=False):
+                ah = a_f32.astype(jnp.bfloat16)
+                al = (a_f32 - ah.astype(F32)).astype(jnp.bfloat16)
+                bh = b_f32.astype(jnp.bfloat16)
+                bl = (b_f32 - bh.astype(F32)).astype(jnp.bfloat16)
                 if swap:
-                    return (jnp.dot(b_bf16, hi, preferred_element_type=F32)
-                            + jnp.dot(b_bf16, lo, preferred_element_type=F32))
-                return (jnp.dot(hi, b_bf16, preferred_element_type=F32)
-                        + jnp.dot(lo, b_bf16, preferred_element_type=F32))
+                    return (jnp.dot(bh, ah, preferred_element_type=F32)
+                            + jnp.dot(bl, ah, preferred_element_type=F32)
+                            + jnp.dot(bh, al, preferred_element_type=F32))
+                return (jnp.dot(ah, bh, preferred_element_type=F32)
+                        + jnp.dot(ah, bl, preferred_element_type=F32)
+                        + jnp.dot(al, bh, preferred_element_type=F32))
 
             tmp = split_dot(ch, bx_ref[0])
             out = split_dot(tmp, by_ref[0], swap=True)
@@ -317,7 +326,9 @@ def lanczos_scale_packed(
     by = np.transpose(by_t, (0, 2, 1)).copy()
 
     center = compute_dtype == jnp.bfloat16 and dtype == jnp.float32
-    band_dtype = jnp.bfloat16 if center else dtype
+    # bands stay f32: the kernel's split-dot halves them itself (their
+    # bf16 rounding alone costs the 0.999-SSIM gate on smooth content)
+    band_dtype = dtype
     if center:
         img = img - jnp.asarray(0.5, dtype)
     img_p = jnp.pad(img, ((0, 0), (pad_t, in_hp - in_h - pad_t),
@@ -397,7 +408,9 @@ def lanczos_scale_fast(
     # centered operands halve bf16 rounding (weights renormalize to 1, so
     # f(x - 1/2) + 1/2 == f(x) to f32 rounding)
     center = compute_dtype == jnp.bfloat16 and dtype == jnp.float32
-    band_dtype = jnp.bfloat16 if center else dtype
+    # bands stay f32: the kernel's split-dot halves them itself (their
+    # bf16 rounding alone costs the 0.999-SSIM gate on smooth content)
+    band_dtype = dtype
     if center:
         img = img - jnp.asarray(0.5, dtype)
     img_p = jnp.pad(img, ((0, 0), (pad_t, in_hp - in_h - pad_t),
