@@ -62,6 +62,21 @@ class TestIdentitySize:
         # last output is the scaled current frame == curr exactly
         np.testing.assert_array_equal(np.asarray(outs[-1]), curr)
 
+    def test_equal_size_bf16_bitwise_f32(self, rng):
+        # default equal-size pyramid config takes the integer-offset warp
+        # in the exact integer-code domain: production bf16 output BYTES
+        # equal the f32 path's (kernels/warp_matmul.py u8_exact)
+        prev = rng.integers(0, 256, (64, 128, 4), dtype=np.uint8)
+        curr = np.roll(prev, (4, -6), (0, 1))
+        outs = {}
+        for dt in ("bf16", "f32"):
+            cfg = _cfg(input_width=128, output_width=128,
+                       output_height=64, motion_mode="pyramid", dtype=dt)
+            outs[dt] = [np.asarray(o) for o in make_interp_step(cfg)(
+                jnp.asarray(prev), jnp.asarray(curr))]
+        for a, b in zip(outs["bf16"], outs["f32"]):
+            np.testing.assert_array_equal(a, b)
+
 
 class TestInterpStep:
     def test_crossfade_mode(self, rng):

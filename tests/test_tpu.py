@@ -134,6 +134,28 @@ class TestWarpOnChip:
             atol=3e-6)
 
 
+class TestWarpIntegerDomainOnChip:
+    def test_equal_size_bf16_bitwise_f32_compiled(self, rng):
+        """The integer-code-domain claim (kernels/warp_matmul.py u8_exact)
+        must hold on the real MXU, not just in interpret mode: default
+        equal-size pyramid config, bf16 output bytes == f32's."""
+        from tpufg.config import EngineConfig, resolve_sizes
+        from tpufg.engine.pipeline import make_interp_step
+
+        prev = rng.integers(0, 256, (64, 128, 4), dtype=np.uint8)
+        curr = np.roll(prev, (4, -6), (0, 1))
+        outs = {}
+        for dt in ("bf16", "f32"):
+            cfg = resolve_sizes(EngineConfig(
+                input_width=128, input_height=64, output_width=128,
+                output_height=64, dtype=dt, motion_mode="pyramid"))
+            outs[dt] = [np.asarray(jax.device_get(o)) for o in
+                        make_interp_step(cfg)(jnp.asarray(prev),
+                                              jnp.asarray(curr))]
+        for a, b in zip(outs["bf16"], outs["f32"]):
+            np.testing.assert_array_equal(a, b)
+
+
 class TestStepOnChip:
     def test_production_step_and_y4m_payload(self, rng):
         """One full compiled production step (pyramid + warp + scale) on

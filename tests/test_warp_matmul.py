@@ -80,6 +80,31 @@ class TestWarpMatmul:
                               integer_offsets=True)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_u8_exact_integer_domain_bitwise(self, frames):
+        # with integer offsets + UNORM8-code frames, the bf16 path runs in
+        # the centered-integer-code domain (every value exact in bf16) and
+        # is BITWISE equal to f32 — the production identity-size config
+        prev, curr = frames
+        rng = np.random.default_rng(7)
+        mv = (rng.integers(-8, 9, (2, prev.shape[1] // 16,
+                                   prev.shape[2] // 16)) * 2).astype(
+                                       np.float32)
+        for occ in (False, True):
+            a = warp_blend_matmul(prev, curr, jnp.asarray(mv), 0.5,
+                                  dtype=jnp.float32, integer_offsets=True,
+                                  u8_exact=True, occlusion=occ)
+            b = warp_blend_matmul(prev, curr, jnp.asarray(mv), 0.5,
+                                  dtype=jnp.bfloat16, integer_offsets=True,
+                                  u8_exact=True, occlusion=occ)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            if not occ:
+                # the integer domain changes f32 results by at most the
+                # centered-real pad's last-bit rounding
+                c = warp_blend_matmul(prev, curr, jnp.asarray(mv), 0.5,
+                                      dtype=jnp.float32,
+                                      integer_offsets=True)
+                assert float(jnp.max(jnp.abs(a - c))) < 1e-6
+
     def test_bf16_close(self, frames):
         prev, curr = frames
         mv = jnp.full((2, 4, 16), 3.5, jnp.float32)

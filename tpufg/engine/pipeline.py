@@ -273,7 +273,11 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
                                    bilinear=bilin,
                                    search_radius=r_warp,
                                    dtype=dt, occlusion=occlusion_blend,
-                                   integer_offsets=int_offs)
+                                   integer_offsets=int_offs,
+                                   # engine frames are always dequantized
+                                   # uint8 -> the integer-offset bf16 warp
+                                   # runs in the exact integer-code domain
+                                   u8_exact=True)
         interps.append(cut_fallback(warped[:, :h, :w], tf))
     if return_mv:
         return interps, mv_out

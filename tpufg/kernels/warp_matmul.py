@@ -213,7 +213,8 @@ def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
 @functools.partial(
     jax.jit,
     static_argnames=("factor", "block", "search_radius", "single", "dtype",
-                     "occlusion", "integer_offsets", "bilinear", "_valid_w"),
+                     "occlusion", "integer_offsets", "bilinear", "u8_exact",
+                     "_valid_w"),
 )
 def warp_blend_matmul(
     prev: jax.Array,
@@ -227,6 +228,7 @@ def warp_blend_matmul(
     occlusion: bool = False,
     integer_offsets: bool = False,
     bilinear: bool = False,
+    u8_exact: bool = False,
     _valid_w: int | None = None,
 ) -> jax.Array:
     """Motion-compensated blend (production XLA/MXU path).
@@ -243,6 +245,17 @@ def warp_blend_matmul(
     closer frame.  Fused elementwise on the already-materialized warped
     pair — measured cost is noise.  Off by default (the shader spec blends
     unconditionally, interpolate.comp:38).
+
+    ``u8_exact``: caller-guaranteed frame values are exact UNORM8 codes
+    (x == k/255 to f32 rounding — true for every engine frame).  With
+    ``integer_offsets`` the warp is then a pure permutation of 255
+    distinct codes, so the bf16 operands are built as CENTERED INTEGER
+    codes (round(255x) − 128 ∈ [−128, 127] — every value exactly
+    representable in bf16's 8 significant bits) instead of centered
+    [−½, ½] reals: the one-hot matmuls and the vertical select move exact
+    integers, and the production bf16 path becomes bitwise equal to f32
+    at identical op count.  Ignored unless ``integer_offsets`` (fractional
+    lerp weights would leave the integer domain immediately).
     """
     n_ch, h, w = prev.shape
     g = int(block)
@@ -259,7 +272,7 @@ def warp_blend_matmul(
         out = warp_blend_matmul(prev, curr, mv, factor=factor, block=block,
                                 search_radius=search_radius, single=single,
                                 integer_offsets=integer_offsets,
-                                bilinear=bilinear,
+                                bilinear=bilinear, u8_exact=u8_exact,
                                 dtype=dtype, occlusion=occlusion, _valid_w=w)
         return out[:, :, :w]
     n_by, n_bx = h // g, w // g
@@ -291,16 +304,30 @@ def warp_blend_matmul(
     mdx = jnp.clip(mv[0].astype(F32), -r, r)
     mdy = jnp.clip(mv[1].astype(F32), -r, r)
 
+    # applied for f32 too: the centered-real pad's x-1/2 can round in the
+    # last bit (binade change), so the integer domain is both the exact
+    # form AND what makes bf16 bitwise-equal to f32 here
+    int_domain = bool(u8_exact) and integer_offsets
+
     def pad(x):
         # centered around 0: the warp is affine with unit weight sums, so
         # f(x - 1/2) + 1/2 == f(x) exactly — but bf16's absolute rounding
         # on [-1/2, 1/2] operands is half that on [0, 1].  Cast to the
         # compute dtype BEFORE the edge pad (identical values — the cast
         # previously happened on the padded tensor) so the f32 extended
-        # frame never touches HBM.
-        return jnp.pad((x.astype(F32) - F32(0.5)).astype(dtype),
+        # frame never touches HBM.  int_domain: centered integer codes
+        # instead — exact in bf16 (see u8_exact in the docstring).
+        v = (jnp.round(x.astype(F32) * F32(255.0)) - F32(128.0)
+             if int_domain else x.astype(F32) - F32(0.5))
+        return jnp.pad(v.astype(dtype),
                        ((0, 0), (halo_r, halo_r), (halo, 128 - halo)),
                        mode="edge")
+
+    def unscale(o):
+        # back to [0,1]; int_domain divides like the dequantizer, so the
+        # warped values are the same UNORM8 reads the f32 path carries
+        return ((o + F32(128.0)) / F32(255.0) if int_domain
+                else o + F32(0.5))
 
     def offsets(scale):
         ox = mdx * scale
@@ -336,12 +363,12 @@ def warp_blend_matmul(
               integer_offsets=integer_offsets, obmc=bilinear, halo_r=halo_r,
               dtype=dtype, prec=prec, max_off=eff_r)
     if single:
-        return _warp_one(pad(prev), *offsets(F32(1.0)), **kw) + F32(0.5)
+        return unscale(_warp_one(pad(prev), *offsets(F32(1.0)), **kw))
 
     p_ext = pad(prev)
     c_ext = pad(curr)
-    warped_p = _warp_one(p_ext, *offsets(-t), **kw) + F32(0.5)
-    warped_c = _warp_one(c_ext, *offsets(F32(1.0) - t), **kw) + F32(0.5)
+    warped_p = unscale(_warp_one(p_ext, *offsets(-t), **kw))
+    warped_c = unscale(_warp_one(c_ext, *offsets(F32(1.0) - t), **kw))
     mask_p = oob_mask(-t)
     mask_c = oob_mask(F32(1.0) - t)
     base = warped_p * mask_p * (F32(1.0) - t) + warped_c * mask_c * t
