@@ -153,6 +153,20 @@ class TestStreaming:
         stats = run_stream(cfg, src, NullSink(), max_frames=3, paced=False)
         assert stats.frames_in == 3
 
+    def test_paced_deadline_accounting(self):
+        # generous 5 fps budget on a tiny no-motion config: warmup frames
+        # excluded (clock re-anchors after compile), the rest must meet
+        # their absolute deadlines
+        cfg = _cfg(motion_mode="none", target_fps=5)
+        src = SyntheticSource(64, 64, n_frames=8)
+        stats = run_stream(cfg, src, NullSink(), paced=True)
+        assert stats.paced_frames == 6  # 8 minus 2 warmup
+        assert stats.deadline_misses == 0
+        # unpaced runs report no pacing stats
+        stats2 = run_stream(cfg, SyntheticSource(64, 64, n_frames=4),
+                            NullSink(), paced=False)
+        assert stats2.paced_frames == 0
+
     def test_all_quality_features_compose(self, tmp_path):
         """Every round-2 quality flag at once through the full engine:
         temporal MV threading + scene-cut + MV filter + occlusion blend +

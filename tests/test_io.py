@@ -306,6 +306,73 @@ class TestY4M:
         assert "C420jpeg" in header
 
 
+class TestFollow:
+    """Live ingest: tail a growing file while a producer writes it."""
+
+    def _produce(self, path, frames, delay=0.005, mark_end=True,
+                 chunked=False):
+        """Serialize frames to y4m, then (optionally in ragged chunks,
+        with pauses) copy the bytes into ``path`` from a writer thread."""
+        import threading
+        import time
+
+        part = path + ".part"
+        with Y4MSink(part, 32, 24, fps=30) as sink:
+            for f in frames:
+                sink.write(f)
+        with open(part, "rb") as f:
+            data = f.read()
+        os.remove(part)
+
+        def writer():
+            with open(path, "wb") as out:
+                step = 997 if chunked else len(data)
+                for off in range(0, len(data), step):
+                    out.write(data[off:off + step])
+                    out.flush()
+                    if chunked:
+                        time.sleep(delay)
+            if mark_end:
+                with open(path + ".end", "w"):
+                    pass
+
+        t = threading.Thread(target=writer, daemon=True)
+        t.start()
+        return t
+
+    def test_follow_y4m_growing(self, tmp_path, frames):
+        p = str(tmp_path / "live.y4m")
+        t = self._produce(p, frames, chunked=True)
+        src = open_source(f"follow:{p}:10")
+        out = list(src)
+        t.join()
+        assert len(out) == len(frames)
+        err = np.abs(out[0][..., :3].astype(int)
+                     - frames[0][..., :3].astype(int))
+        assert err.max() <= 4
+
+    def test_follow_idle_timeout_ends_stream(self, tmp_path, frames):
+        p = str(tmp_path / "idle.y4m")
+        t = self._produce(p, frames[:2], mark_end=False)
+        t.join()
+        import time
+        start = time.monotonic()
+        src = open_source(f"follow:{p}:0.3")
+        out = list(src)
+        assert len(out) == 2
+        assert time.monotonic() - start < 5.0  # ended by idle, promptly
+
+    def test_follow_missing_file_times_out(self, tmp_path):
+        with pytest.raises(SourceError, match="did not appear"):
+            open_source(f"follow:{tmp_path}/nope.y4m:0.2")
+
+    def test_follow_raw_needs_sizes(self, tmp_path):
+        p = str(tmp_path / "x.raw")
+        open(p, "wb").close()
+        with pytest.raises(SourceError, match="width"):
+            open_source(f"follow:{p}:0.2")
+
+
 class TestPNG:
     def test_valid_signature_and_dir(self, tmp_path, frames):
         sink = PNGDirSink(str(tmp_path / "pngs"))

@@ -37,7 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Show this help message")
     p.add_argument("input", nargs="?", metavar="INPUT",
                    help="input spec: raw RGBA file, *.y4m, synthetic:WxH, "
-                        "or '-' for stdin")
+                        "'-' for stdin, or follow:path[:idle_s] to tail a "
+                        "growing file (live ingest)")
     p.add_argument("--input-width", type=int, default=0, metavar="WIDTH",
                    help="Input width (default: auto-detect)")
     p.add_argument("--input-height", type=int, default=0, metavar="HEIGHT",
@@ -275,9 +276,12 @@ def main(argv: Optional[list[str]] = None) -> int:
         source.close()
         sink.close()
 
+    pacing = (f", deadlines {stats.paced_frames - stats.deadline_misses}"
+              f"/{stats.paced_frames} met"
+              if stats.paced_frames else "")
     log.info(f"Done: {stats.frames_in} in, {stats.frames_out} out, "
              f"fps {stats.fps:.1f}, "
-             f"p99 {stats.latency.get('p99_ms', 0):.2f} ms")
+             f"p99 {stats.latency.get('p99_ms', 0):.2f} ms{pacing}")
     return 0
 
 

@@ -44,12 +44,18 @@ class StreamStats:
     frames_out: int = 0
     fps: float = 0.0
     latency: dict = field(default_factory=dict)
+    # paced mode: input frames measured against their absolute deadline
+    # (compile warmup excluded — the clock re-anchors after it)
+    paced_frames: int = 0
+    deadline_misses: int = 0
 
     def as_dict(self):
         return {
             "frames_in": self.frames_in,
             "frames_out": self.frames_out,
             "fps": self.fps,
+            "paced_frames": self.paced_frames,
+            "deadline_misses": self.deadline_misses,
             **{f"step_{k}": v for k, v in self.latency.items()},
         }
 
@@ -232,9 +238,26 @@ class StreamingEngine:
                     f"{self._fps_win.fps:.1f}")
             if clock is not None:
                 # drift-free absolute-deadline pacing (native
-                # clock_nanosleep when the C library is available)
+                # clock_nanosleep when the C library is available).  The
+                # first frames carry jit compile; re-anchor the absolute
+                # schedule after them so sustained-playback stats measure
+                # steady state, not compile repayment
                 late = clock.pace()
-                if late > 0.1:
+                if stats.frames_in <= 2:
+                    clock.reset()
+                else:
+                    stats.paced_frames += 1
+                    if late > 0:
+                        stats.deadline_misses += 1
+                    if late > frame_period:
+                        # more than a whole frame behind: re-anchor (the
+                        # drift-free absolute schedule would otherwise
+                        # mark every subsequent frame late while repaying
+                        # the backlog — deadline-miss semantics, like any
+                        # real-time scheduler, treat the missed slots as
+                        # dropped and resume from now)
+                        clock.reset()
+                if late > 0.1 and stats.frames_in > 2:
                     self.log.warning(
                         f"frame {stats.frames_in} late by {late * 1e3:.1f} ms")
         flush_pending()

@@ -221,6 +221,15 @@ class NativeClock:
             return 0.0
         return -delay
 
+    def reset(self):
+        """Re-anchor the absolute schedule to now (drift-free clocks never
+        self-recover: a late start — e.g. jit compile on the first frames —
+        would otherwise be repaid one period at a time for the whole run)."""
+        if self._c:
+            self._lib.fg_clock_destroy(self._c)
+            self._c = self._lib.fg_clock_create(float(self._fps))
+        self._fallback_next = None
+
     def close(self):
         if self._c:
             self._lib.fg_clock_destroy(self._c)

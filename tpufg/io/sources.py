@@ -321,6 +321,75 @@ class Y4MSource(FrameSource):
             self._f.close()
 
 
+class FollowStream:
+    """File-like reader that tails a GROWING file (live-ingest analog of
+    the reference's continuously-updating window capture,
+    src/window_capture.cpp:332-460).
+
+    ``read`` blocks while the file is still being written: when it hits
+    the current end, it polls for growth and returns data as it appears.
+    Only after ``idle_timeout`` seconds without growth does it report EOF
+    (a live capture has no in-band end-of-stream; idle is the analog of
+    the window closing).  A writer can also end the stream explicitly by
+    creating ``<path>.end``.
+    """
+
+    def __init__(self, path: str, idle_timeout: float = 5.0,
+                 poll_s: float = 0.01):
+        self._path = path
+        self._end_path = path + ".end"
+        self._timeout = float(idle_timeout)
+        self._poll = float(poll_s)
+        # wait for the file to appear (writer may start after us)
+        import time
+        deadline = time.monotonic() + self._timeout
+        while not os.path.exists(path):
+            if time.monotonic() > deadline:
+                raise SourceError(f"{path}: did not appear within "
+                                  f"{self._timeout}s (follow source)")
+            time.sleep(self._poll)
+        self._f = open(path, "rb")
+
+    def read(self, n: int) -> bytes:
+        import time
+        buf = bytearray()
+        last_progress = time.monotonic()
+        while len(buf) < n:
+            chunk = self._f.read(n - len(buf))
+            if chunk:
+                buf += chunk
+                last_progress = time.monotonic()
+                continue
+            if os.path.exists(self._end_path):
+                chunk = self._f.read(n - len(buf))
+                if chunk:  # marker raced the final bytes: drain them
+                    buf += chunk
+                    last_progress = time.monotonic()
+                    continue
+                break  # explicit end marker and nothing left
+            if time.monotonic() - last_progress > self._timeout:
+                break
+            time.sleep(self._poll)
+        return bytes(buf)
+
+    def readline(self) -> bytes:
+        # header/FRAME-marker lines only (short): byte-wise is fine
+        out = bytearray()
+        while not out.endswith(b"\n"):
+            ch = self.read(1)
+            if not ch:
+                break
+            out += ch
+        return bytes(out)
+
+    def close(self):
+        self._f.close()
+
+    @property
+    def name(self):
+        return f"<follow {self._path}>"
+
+
 class SyntheticSource(FrameSource):
     """Procedural moving-pattern frames for bench and demos.
 
@@ -396,8 +465,28 @@ def open_source(spec: str, width: int = 0, height: int = 0,
     - ``synthetic:WxH[:pattern]`` — procedural frames
     - ``-`` — packed RGBA on stdin (needs explicit sizes)
     - ``*.y4m`` — YUV4MPEG2
+    - ``follow:path[:idle_timeout_s]`` — LIVE ingest: tail a growing
+      y4m or raw file while a producer writes it (the reference's
+      continuously-updating-capture analog); ends after idle_timeout
+      (default 5 s) without growth, or at a ``path.end`` marker file
     - anything else — packed raw RGBA/BGRA file (needs explicit sizes)
     """
+    if spec.startswith("follow:"):
+        rest = spec[len("follow:"):]
+        timeout = 5.0
+        if ":" in rest:
+            rest, t = rest.rsplit(":", 1)
+            try:
+                timeout = float(t)
+            except ValueError:
+                raise SourceError(f"bad follow timeout {t!r} in {spec!r}")
+        stream = FollowStream(rest, idle_timeout=timeout)
+        if rest.endswith(".y4m"):
+            return Y4MSource(stream)
+        if width <= 0 or height <= 0:
+            raise SourceError(
+                "follow: raw stream needs explicit --input-width/height")
+        return StdinSource(width, height, channel_order, stream=stream)
     if spec.startswith("synthetic:"):
         parts = spec.split(":")
         m = re.fullmatch(r"(\d+)x(\d+)", parts[1])
