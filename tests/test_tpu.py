@@ -156,6 +156,24 @@ class TestWarpIntegerDomainOnChip:
             np.testing.assert_array_equal(a, b)
 
 
+class TestConvOnChip:
+    def test_encoder_conv_bitwise_vs_lax(self, rng):
+        """Mosaic-compiled Pallas conv == lax.conv bf16 on the real MXU
+        (the selection-matmul formulation must survive compilation, not
+        just interpret mode — see the lattice-kernel miscompile history
+        in engine/pipeline.py)."""
+        from tpufg.kernels.conv import conv3x3_s2
+        from tpufg.models import rife
+
+        x = jnp.asarray(rng.random((8, 128, 256), np.float32))
+        w = jnp.asarray(rng.normal(0, 0.2, (32, 8, 3, 3)).astype(np.float32))
+        b = jnp.asarray(rng.normal(0, 0.1, (32,)).astype(np.float32))
+        ref = rife._conv(x[None], w, b, 2, jnp.bfloat16)[0]
+        got = conv3x3_s2(x, w, b, compute_dtype=jnp.bfloat16)
+        np.testing.assert_array_equal(np.asarray(jax.device_get(got)),
+                                      np.asarray(jax.device_get(ref)))
+
+
 class TestStepOnChip:
     def test_production_step_and_y4m_payload(self, rng):
         """One full compiled production step (pyramid + warp + scale) on

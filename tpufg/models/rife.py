@@ -104,23 +104,45 @@ def bilinear_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
     return top * (1 - fy) + bot * fy
 
 
-def _trunk(params: dict, prev: jax.Array, curr: jax.Array, dtype=F32):
-    """Conv trunk: frame pair -> (flow_p, flow_c, mask) at full resolution.
+def _trunk_raw(params: dict, prev: jax.Array, curr: jax.Array, dtype=F32,
+               fast: bool = False):
+    """Conv trunk: frame pair -> raw head output [B, 5, H/4, W/4]
+    (4 flow channels + 1 mask logit, at the 1/SCALE prediction scale).
 
     ``dtype``: conv operand precision.  Training keeps f32; inference
     passes bf16 (f32 accumulate) — measured 2x on the 4K trunk with no
     visible effect on the 1/4-res flow field.
+
+    ``fast``: run the full-resolution encoder layer through the Pallas
+    conv kernel (tpufg.kernels.conv) — bitwise-equal to the lax.conv bf16
+    path on chip, 6.4 vs 16.5 ms at 4K (XLA's stride-2 small-channel conv
+    lowering is the trunk's bottleneck).  Inference only: the kernel has
+    no autodiff rule, so training (and CPU interpret fallback for parity
+    tests) keeps lax.conv.
     """
     x = jnp.concatenate([prev, curr], axis=1).astype(F32)
-    h1 = jax.nn.relu(_conv(x, params["enc1"]["w"], params["enc1"]["b"], 2,
-                           dtype))
+    if fast and x.shape[0] == 1:
+        from tpufg.kernels.conv import conv3x3_s2
+        h1 = jax.nn.relu(conv3x3_s2(x[0], params["enc1"]["w"],
+                                    params["enc1"]["b"],
+                                    compute_dtype=dtype)[None])
+    else:
+        h1 = jax.nn.relu(_conv(x, params["enc1"]["w"], params["enc1"]["b"],
+                               2, dtype))
     h2 = jax.nn.relu(_conv(h1, params["enc2"]["w"], params["enc2"]["b"], 2,
                            dtype))
     h3 = jax.nn.relu(_conv(h2, params["body1"]["w"], params["body1"]["b"],
                            1, dtype))
     h4 = jax.nn.relu(_conv(h3, params["body2"]["w"], params["body2"]["b"],
                            1, dtype))
-    out = _conv(h4, params["head"]["w"], params["head"]["b"])
+    return _conv(h4, params["head"]["w"], params["head"]["b"])
+
+
+def _trunk(params: dict, prev: jax.Array, curr: jax.Array, dtype=F32,
+           fast: bool = False):
+    """Frame pair -> (flow_p, flow_c, mask) at full resolution (see
+    _trunk_raw for the conv stack and the ``fast``/``dtype`` knobs)."""
+    out = _trunk_raw(params, prev, curr, dtype, fast)
     # upsample flow/mask to full res; flow values scale with resolution
     b, _, hq, wq = out.shape
     full = jax.image.resize(out, (b, 5, hq * SCALE, wq * SCALE), "bilinear")
@@ -153,7 +175,8 @@ def forward(params: dict, prev: jax.Array, curr: jax.Array,
 
 def interpolate_fast(params: dict, prev: jax.Array, curr: jax.Array,
                      t: float = 0.5, grid: int = 16,
-                     max_flow: int = 16, dtype=jnp.bfloat16) -> jax.Array:
+                     max_flow: int = 8, dtype=jnp.bfloat16,
+                     integer_flow: bool = True) -> jax.Array:
     """Inference path: predicted flow block-subsampled through the
     production one-hot warp (tpufg.kernels.warp_matmul) — no gathers.
 
@@ -163,20 +186,59 @@ def interpolate_fast(params: dict, prev: jax.Array, curr: jax.Array,
     mask stays per-pixel.
 
     ``max_flow`` clamps the PER-FRAME flow (flows are t-scaled motions,
-    so 16 covers ~±32 px/frame of true motion); the one-hot warp's span
-    scales with it — 32 measured +28 ms/pair at 4K over 16.
+    so 8 covers ~±16 px/frame of true motion); the one-hot warp's span
+    scales with it (r3 measured at 4K: 16→8 is ~9 ms/pair; 32 had
+    measured +28 ms over 16).  With the Pallas encoder and the lattice
+    flow sample the full inference step is 29.9 ms/pair at 4K→4K
+    (66.8 output fps — config 5 meets the 60 fps target on the learned
+    path itself; r2 was 47.9 ms / 42 fps).
+
+    ``integer_flow`` rounds the subsampled flow to integer pixels: the
+    warp takes the single-band integer-offset path in the exact
+    integer-code domain (bf16 bitwise == f32; kernels/warp_matmul.py
+    u8_exact).  Measured speed-neutral (the warp is memory-bound; the
+    skipped lerp was hidden) but BETTER on the natural corpus —
+    +0.27 dB / +0.011 SSIM over fractional: on top of the 16-px block
+    granularity, the fractional lerp only softens texture, it cannot add
+    real sub-pixel alignment.
     """
     from tpufg.kernels.warp_matmul import warp_blend_matmul
 
-    flow_p, flow_c, mask = _trunk(params, prev[None], curr[None],
-                                  dtype=dtype)
-    fp = flow_p[0][:, grid // 2::grid, grid // 2::grid]
-    fc = flow_c[0][:, grid // 2::grid, grid // 2::grid]
+    if grid != 4 * SCALE:
+        raise ValueError(f"interpolate_fast expects grid == {4 * SCALE}")
+    out = _trunk_raw(params, prev[None], curr[None], dtype=dtype,
+                     fast=True)[0]
+    hq, wq = out.shape[1:]
+    nh, nw = hq // 4, wq // 4
+    # closed-form lattice sample: the old path bilinearly upsampled the
+    # head output to FULL resolution (5ch, ~5 ms at 4K) then subsampled
+    # at block centers.  Block-center row r = grid/2 + grid*k maps to
+    # head coords (r+0.5)/SCALE - 0.5 = 1.625 + 4k — constant fraction
+    # 0.625 between head rows 1+4k and 2+4k — so the lattice IS two
+    # strided slices with fixed weights (same math, none of the full-res
+    # traffic); only the per-pixel mask still upsamples (1ch).
+    ry = (out[:, 1::4, :][:, :nh] * F32(0.375)
+          + out[:, 2::4, :][:, :nh] * F32(0.625))
+    lat = (ry[:, :, 1::4][:, :, :nw] * F32(0.375)
+           + ry[:, :, 2::4][:, :, :nw] * F32(0.625))
+    fp = lat[0:2] * F32(SCALE)
+    fc = lat[2:4] * F32(SCALE)
+    mask_logit = jax.image.resize(out[4:5][None],
+                                  (1, 1, hq * SCALE, wq * SCALE),
+                                  "bilinear")
+    mask = jax.nn.sigmoid(mask_logit)[0]                  # [1, H, W]
+    if integer_flow:
+        fp = jnp.round(fp)
+        fc = jnp.round(fc)
     warped_p = warp_blend_matmul(prev, prev, fp, single=True, block=grid,
-                                 search_radius=max_flow, dtype=dtype)
+                                 search_radius=max_flow, dtype=dtype,
+                                 integer_offsets=integer_flow,
+                                 u8_exact=integer_flow)
     warped_c = warp_blend_matmul(curr, curr, fc, single=True, block=grid,
-                                 search_radius=max_flow, dtype=dtype)
-    return _fuse(warped_p, warped_c, mask[0], t)
+                                 search_radius=max_flow, dtype=dtype,
+                                 integer_offsets=integer_flow,
+                                 u8_exact=integer_flow)
+    return _fuse(warped_p, warped_c, mask, t)
 
 
 def load_params(path: str) -> dict:
