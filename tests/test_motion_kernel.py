@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import pytest
 
 from tests.conftest import random_frame
-from tpufg.kernels.motion import motion_search_tiled
+from tpufg.kernels.motion import motion_search_sites, motion_search_tiled
 from tpufg.ops import motion_search
 
 
@@ -60,3 +60,34 @@ class TestBounds:
                                             search_radius=3))
         assert np.all(np.abs(mv) <= 3.0)
         assert mv.shape == (2, 16, 16)
+
+
+class TestSitesKernel:
+    """Site-row exhaustive kernel: bitwise the per-pixel field's rows."""
+
+    @pytest.mark.parametrize("hw,r", [((64, 256), 4), ((96, 384), 8)])
+    def test_bitwise_vs_tiled_subsampled(self, rng, hw, r):
+        h, w = hw
+        prev = jnp.asarray(rng.random((4, h, w)).astype(np.float32))
+        curr = jnp.asarray(np.roll(np.asarray(prev), (3, -2), (1, 2)))
+        full = motion_search_tiled(prev, curr, block_size=8,
+                                   search_radius=r, exact_box=False)
+        sites = motion_search_sites(prev, curr, block_size=8,
+                                    search_radius=r, dx_chunk=1)
+        np.testing.assert_array_equal(np.asarray(sites),
+                                      np.asarray(full)[:, 8::16, :])
+
+    def test_dx_chunk_invariant(self, rng):
+        prev = jnp.asarray(rng.random((4, 64, 256)).astype(np.float32))
+        curr = jnp.asarray(np.roll(np.asarray(prev), 2, 2))
+        a = motion_search_sites(prev, curr, search_radius=4, dx_chunk=1)
+        b = motion_search_sites(prev, curr, search_radius=4, dx_chunk=3)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_unsupported_params_rejected(self):
+        z = jnp.zeros((4, 64, 256), jnp.float32)
+        with pytest.raises(ValueError, match="block_size=8"):
+            motion_search_sites(z, z, block_size=4)
+        with pytest.raises(ValueError, match="divisible by grid"):
+            motion_search_sites(jnp.zeros((4, 72, 256), jnp.float32),
+                                jnp.zeros((4, 72, 256), jnp.float32))

@@ -99,6 +99,22 @@ class TestMotionOnChip:
         np.testing.assert_array_equal(
             np.asarray(out), np.transpose(np.asarray(ref), (2, 0, 1)))
 
+    def test_sites_kernel_bitwise_compiled(self, rng):
+        """The site-row exhaustive kernel (engine config-3 path) must be
+        bitwise the per-pixel field's site rows when Mosaic-compiled —
+        earlier site-kernel attempts miscompiled only on hardware."""
+        from tpufg.kernels.motion import (motion_search_sites,
+                                          motion_search_tiled)
+        prev = jnp.asarray(rng.random((4, 128, 384)).astype(np.float32))
+        curr = jnp.asarray(np.roll(np.asarray(prev), (3, -2), (1, 2)))
+        full = motion_search_tiled(prev, curr, block_size=8,
+                                   search_radius=8, exact_box=False)
+        sites = motion_search_sites(prev, curr, block_size=8,
+                                    search_radius=8, dx_chunk=1)
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(sites)),
+            np.asarray(jax.device_get(full))[:, 8::16, :])
+
     def test_lattice_matches_tiled_subsampled(self, rng):
         from tpufg.kernels.motion import motion_search_tiled
         from tpufg.kernels.motion_xla import motion_search_lattice

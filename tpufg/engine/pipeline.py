@@ -31,7 +31,7 @@ from tpufg.config import EngineConfig
 from tpufg.kernels.convert import (frames_to_planar, planar_to_frames,
                                    planar_to_i32)
 from tpufg.kernels.lanczos import lanczos_scale_packed
-from tpufg.kernels.motion import motion_search_tiled
+from tpufg.kernels.motion import motion_search_sites, motion_search_tiled
 from tpufg.kernels.warp_matmul import warp_blend_matmul
 from tpufg.models.pyramid import pyramid_motion_search
 from tpufg.ops import oracle
@@ -206,20 +206,31 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
             skip_finest_refine=skip_finest_refine, interpret=interpret,
             seed=mv_seed, bias=mv_bias)
     else:  # exhaustive parity kernel, subsampled to the MV lattice.
-        # Tile tuning (r3): 64x512 tiles + 3-wide roll chunks measured
-        # 98.9 vs 133.5 ms at 1080p r=16 (less per-candidate fixed cost).
-        # Two lattice-output variants that skipped the non-site rows were
-        # measured faster still (~40 ms) but are dead ends, recorded so
-        # they are not retried: a Pallas site-row kernel MISCOMPILED on
-        # real hardware twice (garbage MVs) while passing interpret mode
-        # (sublane reshapes, then 8-site batching), and a pure-XLA band
-        # decomposition over shifted in-cell lattice searches was
-        # bitwise-correct but compiled for >8 minutes even at 64x128.
-        mv_px = motion_search_tiled(pp, cp, block_size=block_size,
-                                    search_radius=search_radius,
-                                    exact_box=False, interpret=interpret,
-                                    tile_h=64, tile_w=512, dx_chunk=3)
-        mv = mv_px[:, MV_GRID // 2::MV_GRID, MV_GRID // 2::MV_GRID]
+        # r3 history: 64x512 tiles + 3-wide roll chunks took the per-pixel
+        # kernel 133.5 -> 98.9 ms at 1080p r=16; two early lattice-output
+        # attempts were dead ends (a site-row Pallas kernel using SUBLANE
+        # reshapes/slices of non-contiguous values MISCOMPILED on real
+        # hardware twice while passing interpret mode, and a pure-XLA
+        # band decomposition compiled for >8 minutes at 64x128).  The
+        # shipping motion_search_sites kernel avoids the miscompile class
+        # by pre-stacking the prev row-bands in XLA and indexing them by
+        # BAND (a leading axis) in-kernel: bitwise the per-pixel field's
+        # site rows, 41 vs 98 ms at 1080p r=16 (kernels/motion.py).
+        chunk = 3 if (2 * search_radius + 1) % 3 == 0 else 1
+        if block_size == 8:
+            mv_rows = motion_search_sites(
+                pp, cp, block_size=block_size,
+                search_radius=search_radius, grid=MV_GRID,
+                interpret=interpret, tile_w=1024, dx_chunk=chunk)
+            mv = mv_rows[:, :, MV_GRID // 2::MV_GRID]
+        else:  # non-reference block sizes keep the per-pixel kernel
+            mv_px = motion_search_tiled(pp, cp, block_size=block_size,
+                                        search_radius=search_radius,
+                                        exact_box=False,
+                                        interpret=interpret,
+                                        tile_h=64, tile_w=512,
+                                        dx_chunk=chunk)
+            mv = mv_px[:, MV_GRID // 2::MV_GRID, MV_GRID // 2::MV_GRID]
     # the warp clamps MVs to its static reach: the pyramid's own bound by
     # default, extended to the temporal clamp + pyramid reach when seeded
     r_warp = max(search_radius, 8)

@@ -155,6 +155,197 @@ def _motion_kernel(prev_ref, curr_ref, out_ref, prev_s, curr_s, sem,
     out_ref[1] = best_dy
 
 
+def _sites_kernel(prev_ref, curr_ref, out_ref, prev_s, curr_s, sem,
+                  *, W, TW, r, b, n_ch, m_real, grid, pspan, cspan,
+                  n_tg, n_tx, dx_chunk):
+    tg = pl.program_id(0)
+    tx = pl.program_id(1)
+    anchor = b // 2
+    ext = TW + b - 1
+    n_o = 2 * r + b          # prev row-band count (o = u + dy + r)
+
+    cdma = pltpu.make_async_copy(
+        curr_ref.at[:, :, pl.ds(pl.multiple_of(tg * 8, 8), 8),
+                    pl.ds(pl.multiple_of(tx * TW, 128), cspan)],
+        curr_s, sem.at[0])
+    pdma = pltpu.make_async_copy(
+        prev_ref.at[:, :, pl.ds(pl.multiple_of(tg * 8, 8), 8),
+                    pl.ds(pl.multiple_of(tx * TW, 128), pspan)],
+        prev_s, sem.at[1])
+    cdma.start()
+    pdma.start()
+    cdma.wait()
+    pdma.wait()
+
+    # u-major stack: row u*8 + i is block row u of tile-group i's site
+    curr_c = [curr_s[c].reshape(8 * b, cspan)[:, 0:ext].astype(F32)
+              for c in range(n_ch)]
+
+    # block-pixel validity: site rows are always in-image (the engine
+    # pads to the lattice), so only columns mask (motion.comp:36-39)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (8 * b, ext), 1) \
+        + (tx * TW - anchor)
+    mask = ((gj >= 0) & (gj < W)).astype(F32)
+
+    def dy_body(dy_idx, state):
+        dyf = (dy_idx - r).astype(F32)
+        # prev rows for stacked block row (u, i): band o = u + dy_idx of
+        # tile-group i — a dynamic index on the BAND axis (no sublane
+        # arithmetic; bands are pre-stacked in XLA)
+        shifted = []
+        for c in range(n_ch):
+            rows = [prev_s[c, pl.ds(u + dy_idx, 1)].reshape(8, pspan)
+                    for u in range(b)]
+            shifted.append(jnp.concatenate(rows, axis=0))  # [b*8, pspan]
+
+        n_dx = 2 * r + 1
+        chunk = dx_chunk if dx_chunk else 1
+
+        def dx_chunk_body(ch_idx, st):
+            rolled = [pltpu.roll(shifted[c], -(ch_idx * chunk), 1)
+                      for c in range(n_ch)]
+            for k in range(chunk):
+                best_cost, best_dx, best_dy = st
+                dxf = (ch_idx * chunk + k - r).astype(F32)
+                d = curr_c[0] - rolled[0][:, k:k + ext]
+                acc = d * d
+                for c in range(1, n_ch):
+                    d = curr_c[c] - rolled[c][:, k:k + ext]
+                    acc = acc + d * d
+                dist = jnp.sqrt(acc) * mask
+                # separable box-sum, same association as the tiled
+                # kernel's exact_box=False path: x first (sequential),
+                # then the b block rows in order — each a static
+                # contiguous [8, TW] slab in the u-major stack
+                colsum = dist[:, 0:TW]
+                for kx in range(1, b):
+                    colsum = colsum + dist[:, kx:kx + TW]
+                cost = colsum[0:8, :]
+                for u in range(1, b):
+                    cost = cost + colsum[u * 8:u * 8 + 8, :]
+                upd = cost < best_cost  # strict <: first found wins
+                best_cost = jnp.where(upd, cost, best_cost)
+                best_dx = jnp.where(upd, dxf, best_dx)
+                best_dy = jnp.where(upd, dyf, best_dy)
+                st = (best_cost, best_dx, best_dy)
+            return st
+
+        return jax.lax.fori_loop(0, n_dx // chunk, dx_chunk_body, state)
+
+    init = (
+        jnp.full((8, TW), 1e10, F32),    # motion.comp:25
+        jnp.zeros((8, TW), F32),         # motion.comp:24
+        jnp.zeros((8, TW), F32),
+    )
+    _, best_dx, best_dy = jax.lax.fori_loop(0, 2 * r + 1, dy_body, init)
+    out_ref[0] = best_dx
+    out_ref[1] = best_dy
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "search_radius", "grid", "tile_w",
+                     "interpret", "dx_chunk"),
+)
+def motion_search_sites(
+    prev: jax.Array,
+    curr: jax.Array,
+    block_size: int = 8,
+    search_radius: int = 16,
+    grid: int = 16,
+    tile_w: int = 512,
+    interpret: bool | None = None,
+    dx_chunk: int = 3,
+) -> jax.Array:
+    """Exhaustive block matching evaluated only at the MV-lattice SITE ROWS.
+
+    The engine consumes the exhaustive field subsampled to the ``grid``
+    lattice (engine/pipeline.py config 3), yet the per-pixel kernel
+    scores every row: rows outside a site's 8-row block window are pure
+    waste (~2.2x at grid=16, b=8).  This kernel pre-compacts, in XLA, the
+    b block rows of each lattice cell (u-major: stacked row u*8+i is
+    block row u of tile-group i) and the 2r+b prev row-bands each cell
+    can read (band o = u+dy, a dynamic BAND index in-kernel — no sublane
+    arithmetic, the class that miscompiled earlier site kernels), then
+    runs the same inverted candidate loop as motion_search_tiled.
+
+    Distance values, separable box-sum association, scan order and
+    tie-break are identical to ``motion_search_tiled(exact_box=False)``,
+    so the output is bitwise that kernel's field at rows
+    ``grid//2 + grid*k`` (tested).  Returns f32 [2, H//grid, W] (site
+    rows, all columns — subsample columns ``grid//2::grid`` for the
+    lattice).  Requires H % grid == 0, b == 8, grid == 16.
+    """
+    if interpret is None:
+        interpret = use_interpret()
+    n_ch, H, W = prev.shape
+    b = int(block_size)
+    r = int(search_radius)
+    g = int(grid)
+    if b != 8 or g != 16:
+        raise ValueError("motion_search_sites supports block_size=8, "
+                         f"grid=16 (got b={b}, grid={g})")
+    if H % g:
+        raise ValueError(f"H={H} must be divisible by grid={g}")
+    anchor = b // 2
+    m = H // g
+    m_pad = round_up(m, 8)
+    TW = min(tile_w, round_up(W, 128))
+    n_tx = cdiv(W, TW)
+    n_tg = m_pad // 8
+    n_o = 2 * r + b
+
+    cspan = round_up(TW + b - 1 + anchor, 128)
+    pspan = round_up(TW + b - 1 + 2 * r, 128)
+    w_cpad = (n_tx - 1) * TW + cspan
+    w_ppad = (n_tx - 1) * TW + pspan
+
+    # curr block-row bands, u-major: [C, b(u), m_pad(g), W+margins].
+    # Site row s = g/2 + g*k; block rows s-anchor .. s+b-1-anchor have
+    # residues (g//2 - anchor) .. (+b-1) within each g-row cell.
+    lo = g // 2 - anchor
+    cur4 = curr.astype(F32).reshape(n_ch, m, g, W)[:, :, lo:lo + b]
+    cur4 = jnp.transpose(cur4, (0, 2, 1, 3))              # [C, b, m, W]
+    cur4 = jnp.pad(cur4, ((0, 0), (0, 0), (0, m_pad - m),
+                          (anchor, w_cpad - W - anchor)))
+
+    # prev row-bands: band o (= u + dy + r) of cell k is original row
+    # g*k + lo + (o - r), clamp-to-edge via the padded frame
+    prev_p = jnp.pad(prev.astype(F32), ((0, 0), (r, r + g),
+                                        (r + anchor, 0)), mode="edge")
+    prev_p = jnp.pad(prev_p, ((0, 0), (0, 0),
+                              (0, w_ppad - prev_p.shape[2])), mode="edge")
+    bands = [prev_p[:, lo + o:lo + o + g * m:g, :][:, :m]
+             for o in range(n_o)]
+    pre4 = jnp.stack(bands, axis=1)                       # [C, n_o, m, Wp]
+    pre4 = jnp.pad(pre4, ((0, 0), (0, 0), (0, m_pad - m), (0, 0)),
+                   mode="edge")
+
+    if dx_chunk and (2 * r + 1) % dx_chunk:
+        raise ValueError(f"dx_chunk {dx_chunk} must divide 2r+1 = {2*r+1}")
+    kernel = functools.partial(
+        _sites_kernel, W=W, TW=TW, r=r, b=b, n_ch=n_ch, m_real=m,
+        grid=g, pspan=pspan, cspan=cspan, n_tg=n_tg, n_tx=n_tx,
+        dx_chunk=dx_chunk)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tg, n_tx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((2, 8, TW), lambda tg, tx: (0, tg, tx)),
+        out_shape=jax.ShapeDtypeStruct((2, m_pad, n_tx * TW), F32),
+        scratch_shapes=[
+            pltpu.VMEM((n_ch, n_o, 8, pspan), F32),
+            pltpu.VMEM((n_ch, b, 8, cspan), F32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(pre4, cur4)
+    return out[:, :m, :W]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_size", "search_radius", "tile_h", "tile_w",
