@@ -89,7 +89,8 @@ def _conv_s2_kernel(img_ref, sxsel_ref, rd_ref, wtap_ref, bias_ref, out_ref,
 @functools.partial(jax.jit,
                    static_argnames=("compute_dtype", "tile", "interpret"))
 def conv3x3_s2(x: jax.Array, w: jax.Array, b: jax.Array,
-               compute_dtype=jnp.bfloat16, tile: tuple[int, int] = (32, 128),
+               compute_dtype=jnp.bfloat16,
+               tile: tuple[int, int] | None = None,
                interpret: bool | None = None) -> jax.Array:
     """SAME-padded 3x3 stride-2 conv, planar layout.
 
@@ -97,8 +98,10 @@ def conv3x3_s2(x: jax.Array, w: jax.Array, b: jax.Array,
     [Cout].  Returns f32 [Cout, H/2, W/2], identical math to
     ``lax.conv_general_dilated(..., stride 2, SAME)`` with f32 tap
     accumulation (tap order differs only inside the exact-f32 MXU
-    accumulate).  Intended for small Cin (the trunk encoder's 8): the
-    block-diagonal row selector scales as Cin^2.
+    accumulate).  Intended for small Cin: the block-diagonal row selector
+    scales as Cin^2, so wins shrink with channel count (enc1 Cin=8:
+    6.4 vs 16.5 ms at 4K; enc2 Cin=32 at its VMEM-bounded (16, 128)
+    tile: 6.8 vs 8.5).
     """
     if interpret is None:
         interpret = use_interpret()
@@ -107,6 +110,9 @@ def conv3x3_s2(x: jax.Array, w: jax.Array, b: jax.Array,
     if h % 2 or wd % 2:
         raise ValueError(f"conv3x3_s2 needs even H, W; got {h}x{wd}")
     ho, wo = h // 2, wd // 2
+    if tile is None:
+        # the row selector [cin*th, cin*(2th+8)] is the VMEM governor
+        tile = (32, 128) if cin <= 8 else (16, 128)
     th, tw = tile
     n_ty, n_tx = cdiv(ho, th), cdiv(wo, tw)
     span_y, span_x = 2 * th + 8, 2 * tw + 128

@@ -129,6 +129,10 @@ def _trunk_raw(params: dict, prev: jax.Array, curr: jax.Array, dtype=F32,
     else:
         h1 = jax.nn.relu(_conv(x, params["enc1"]["w"], params["enc1"]["b"],
                                2, dtype))
+    # enc2 stays lax.conv even in fast mode: the Pallas form wins in
+    # isolation (6.8 vs 8.5 ms at Cin=32) but LOSES fused into the trunk
+    # (31.3 vs 29.9 ms/pair) — the custom-call boundary costs more than
+    # the conv saves once XLA can overlap enc2 with its neighbors
     h2 = jax.nn.relu(_conv(h1, params["enc2"]["w"], params["enc2"]["b"], 2,
                            dtype))
     h3 = jax.nn.relu(_conv(h2, params["body1"]["w"], params["body1"]["b"],
