@@ -590,7 +590,10 @@ class TestTemporalMV:
         _cfg(motion_mode="pyramid", temporal_mv=True,
              interpolation_factor=0.75)
 
-    def test_sharded_rejects_temporal(self, rng):
+    def test_sharded_temporal_rejects_dp_batching(self, rng):
+        # temporal state is sequential per-stream: dp>1 batches
+        # independent pairs and must be rejected; dp=1 is supported
+        # (functional coverage: tests/test_parallel.py)
         import jax
 
         from tpufg.config import ConfigError
@@ -598,10 +601,10 @@ class TestTemporalMV:
                                             make_spatial_mesh)
         if len(jax.devices()) < 8:
             pytest.skip("needs 8 virtual devices")
-        cfg = _cfg(input_width=128, input_height=256,
-                   output_width=128, output_height=256,
+        cfg = _cfg(input_width=128, input_height=1024,
+                   output_width=128, output_height=1024,
                    motion_mode="pyramid", temporal_mv=True)
-        with pytest.raises(ConfigError):
+        with pytest.raises(ConfigError, match="dp 1"):
             make_sharded_interp_step(make_spatial_mesh(8, dp=2), cfg)
 
 

@@ -191,6 +191,20 @@ class TestShardedCLI:
         assert rc == 0
         return np.fromfile(out, np.uint8)
 
+    def test_temporal_mv_sharded_stream(self, devices, tmp_path):
+        # --temporal-mv + --devices (dp=1): the runner threads the
+        # row-sharded predictor state between sequential pairs
+        data = self._run(tmp_path, ["--devices", "2", "--temporal-mv"],
+                         h=100, frames=5)  # padded to the 256-row lattice
+        assert data.size == 9 * (200 * 256 * 4)  # 1 + 4*2 outputs
+
+    def test_temporal_mv_rejects_dp_batching(self, devices, tmp_path):
+        from tpufg.cli import main
+        rc = main(["synthetic:128x256", "--frames", "4", "--devices", "8",
+                   "--dp", "2", "--temporal-mv", "--output-width", "256",
+                   "--no-pacing", "--output", "null"])
+        assert rc == 1  # clean config error, not a traceback
+
     def test_matches_single_chip_stream(self, devices, tmp_path):
         single = self._run(tmp_path, [])
         sharded = self._run(tmp_path, ["--devices", "8", "--dp", "2"])
@@ -273,6 +287,56 @@ class TestShardedLearned:
         assert d.max() <= 1, d.max()
         assert (d > 0).mean() < 1e-3
         np.testing.assert_array_equal(np.asarray(out_c[0]), np.asarray(ref_c))
+
+    def test_sharded_temporal_matches_single_chip(self, devices, rng):
+        """Temporal-MV under spatial sharding (dp=1): the row-sharded
+        predictor state is halo-exchanged like frame rows, so a sustained
+        fast pan must lock on exactly as the single-chip temporal engine
+        does — interior MV state bitwise, outputs <= 1 code interior."""
+        from tpufg.config import EngineConfig, resolve_sizes
+        from tpufg.engine.pipeline import make_interp_step, mv_lattice_shape
+
+        mesh = make_spatial_mesh(2, dp=1)
+        in_h, in_w = 4 * 2 * HALO, 256      # temporal halo is 2*HALO
+        cfg = resolve_sizes(EngineConfig(
+            input_width=in_w, input_height=in_h,
+            output_width=in_w, output_height=in_h,
+            dtype="f32", motion_mode="pyramid", temporal_mv=True))
+        step = make_sharded_interp_step(mesh, cfg)
+        ref_step = make_interp_step(cfg)
+
+        # 28 px/frame pan: beyond the per-pair pyramid reach — only the
+        # threaded predictor can track it (models/pyramid.py seeding; the
+        # multi-octave smoothing makes the coarse levels matchable, same
+        # recipe as TestTemporalMV)
+        base = rng.random((in_h, in_w + 256, 4)).astype(np.float32)
+        for k in (1, 2, 4):
+            base = (base + np.roll(base, k, 0) + np.roll(base, k, 1)) / 3
+        base = (base * 255).astype(np.uint8)
+        frames = [np.ascontiguousarray(base[:, 28 * i:28 * i + in_w])
+                  for i in range(5)]
+
+        from tpufg.parallel.spatial import sharded_mv_lattice_shape
+        assert sharded_mv_lattice_shape(cfg) == mv_lattice_shape(cfg)
+        mv_sh = jnp.zeros((1,) + sharded_mv_lattice_shape(cfg), jnp.float32)
+        mv_ref = jnp.zeros(mv_lattice_shape(cfg), jnp.float32)
+        for i in range(4):
+            p, c = jnp.asarray(frames[i]), jnp.asarray(frames[i + 1])
+            *outs_sh, mv_sh = step(p[None], c[None], mv_sh)
+            *outs_ref, mv_ref = ref_step(p, c, mv_ref)
+        # the tracker locked on (backward flow of a left-shifting view)
+        med = float(jnp.median(mv_ref[0]))
+        assert abs(med - 28.0) <= 4.0, med
+        # interior lattice rows (exclude 2*HALO/16 rows at frame edges and
+        # the shard seam's reach) must match bitwise
+        lat_halo = 2 * HALO // 16
+        np.testing.assert_array_equal(
+            np.asarray(mv_sh[0])[:, lat_halo:-lat_halo, :],
+            np.asarray(mv_ref)[:, lat_halo:-lat_halo, :])
+        d = np.abs(np.asarray(outs_sh[0][0]).astype(int)
+                   - np.asarray(outs_ref[0]).astype(int))[
+                       2 * HALO:-2 * HALO]
+        assert d.max() <= 1, d.max()
 
     def test_sharded_learned_requires_params(self, devices):
         from tpufg.config import ConfigError, EngineConfig, resolve_sizes

@@ -135,12 +135,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="seed each pair's motion search with the previous "
                         "pair's MV field (codec-style temporal predictor): "
                         "tracks sustained motion far beyond the per-pair "
-                        "search range, at wider-warp cost.  Pyramid mode, "
-                        "single-chip streaming only: the predictor is "
-                        "per-stream sequential state threaded on-device "
-                        "between pairs, which contradicts --dp's batched "
-                        "pair parallelism and would need the halo widened "
-                        "by the temporal clamp on every sharded step")
+                        "search range, at wider-warp cost.  Pyramid mode; "
+                        "with --devices it needs --dp 1 (the predictor is "
+                        "per-stream sequential state threaded between "
+                        "pairs — row-sharded and halo-exchanged like "
+                        "frames, but incompatible with dp's batched pair "
+                        "parallelism)")
     return p
 
 

@@ -310,7 +310,9 @@ def run_sharded_stream(cfg: EngineConfig, source: FrameSource,
     sp = mesh.shape["sp"]
     in_h, in_w = cfg.input_height, cfg.input_width
     out_h = cfg.output_height
-    h_pad = pad_to_shard_lattice(in_h, sp)
+    temporal = (cfg.temporal_mv and cfg.enable_interpolation
+                and cfg.motion_mode == "pyramid")
+    h_pad = pad_to_shard_lattice(in_h, sp, temporal=temporal)
     if (h_pad * out_h) % in_h:
         raise ConfigError(
             f"sharded transcode: padded height {h_pad} must map to whole "
@@ -320,6 +322,13 @@ def run_sharded_stream(cfg: EngineConfig, source: FrameSource,
                                output_height=out_h_pad)
     step = make_sharded_interp_step(mesh, pcfg, model_params=model_params)
     scale0 = make_scale_step(cfg)  # very first frame: scale-only
+    mv_state = None
+    if temporal:
+        # row-sharded MV predictor threaded between pairs (dp=1 enforced
+        # by make_sharded_interp_step: the state is sequential)
+        from tpufg.parallel.spatial import sharded_mv_lattice_shape
+        mv_state = jnp.zeros((dp,) + sharded_mv_lattice_shape(pcfg),
+                             jnp.float32)
     log.info(f"sharded transcode on mesh dp={dp} sp={sp} "
              f"({devices} devices), rows {in_h}->{h_pad} padded")
 
@@ -354,13 +363,17 @@ def run_sharded_stream(cfg: EngineConfig, source: FrameSource,
         stats.frames_out += 1
 
     def flush(batch: list) -> None:
+        nonlocal mv_state
         n = len(batch)
         if not n:
             return
         full = batch + [batch[-1]] * (dp - n)  # pad ragged tail batch
         pb = jnp.asarray(np.stack([pad_rows(p) for p, _ in full]))
         cb = jnp.asarray(np.stack([pad_rows(c) for _, c in full]))
-        outs = step(pb, cb)
+        if temporal:
+            *outs, mv_state = step(pb, cb, mv_state)
+        else:
+            outs = step(pb, cb)
         # device_get, not np.asarray (pathological on relay-attached
         # devices — see flush_pending in StreamingEngine.run)
         outs_np = [jax.device_get(o[:, :out_h]) for o in outs]

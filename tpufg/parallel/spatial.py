@@ -100,8 +100,15 @@ def make_sharded_interp_step(
     (skip-and-renormalize Lanczos taps, clamped search windows) by design —
     a fixed-width frame-border effect, not a shard-seam effect.
 
-    H must be divisible by sp*64 (the pyramid's shard lattice); use
-    ``pad_to_shard_lattice`` for arbitrary heights.
+    H must be divisible by sp*64 (the pyramid's shard lattice; sp*128 in
+    temporal mode); use ``pad_to_shard_lattice`` for arbitrary heights.
+
+    ``cfg.temporal_mv`` (dp=1 only — the predictor is sequential
+    per-stream state): the step takes and returns a row-sharded MV state
+    [B, 2, H/16, Wp/16] (``sharded_mv_lattice_shape``); the state's halo
+    lattice rows are ppermute-exchanged each pair exactly like frame
+    rows, so the seeded search matches the single-chip temporal engine
+    away from frame edges.
     """
     cfg.validate()
     in_h, in_w = cfg.input_height, cfg.input_width
@@ -114,27 +121,32 @@ def make_sharded_interp_step(
     # convs, two at stride 2 -> ~±20 full-res px) plus the clamped flow
     # reach (±16 px/frame, rife.interpolate_fast max_flow) stays well
     # inside the 64-row halo, so the same exchange covers the conv head.
-    if cfg.temporal_mv:
+    temporal = bool(cfg.temporal_mv)
+    if temporal and mesh.shape["dp"] > 1:
         raise ConfigError(
-            "--temporal-mv is a single-chip streaming feature (the MV "
-            "predictor is per-stream state; the offline sharded transcode "
-            "batches independent pairs)")
+            "--temporal-mv under --devices needs --dp 1: the MV predictor "
+            "is sequential per-stream state, which contradicts dp's "
+            "batched pair parallelism (spatial sharding threads it fine)")
     t = cfg.interpolation_factor
     k = max(2, int(cfg.fps_multiplier))
     factors = [t] if k == 2 else [i / float(k) for i in range(1, k)]
     dt = jnp.bfloat16 if cfg.dtype == "bf16" else jnp.float32
 
+    # temporal mode doubles the halo: the seeded pyramid's reach is the
+    # |seed| clamp (TEMPORAL_CLAMP=48) + the per-pair search (~22) + the
+    # block window — ~74 rows, beyond the unseeded 64-row halo
+    halo = 2 * HALO if temporal else HALO
     sp = mesh.shape["sp"]
-    if in_h % (sp * HALO):
+    if in_h % (sp * halo):
         raise ConfigError(
-            f"input height {in_h} must be divisible by sp*{HALO} = "
-            f"{sp * HALO} (pad_to_shard_lattice handles arbitrary heights)")
+            f"input height {in_h} must be divisible by sp*{halo} = "
+            f"{sp * halo} (pad_to_shard_lattice handles arbitrary heights)")
     # the scaled halo rows to crop from each shard's scaled output
-    if (HALO * out_h) % in_h or (in_h // sp * out_h) % in_h:
+    if (halo * out_h) % in_h or (in_h // sp * out_h) % in_h:
         raise ConfigError(
-            f"scale {out_h}/{in_h} must map the {HALO}-row halo and the "
+            f"scale {out_h}/{in_h} must map the {halo}-row halo and the "
             f"{in_h // sp}-row shard to whole output rows")
-    halo_out = HALO * out_h // in_h
+    halo_out = halo * out_h // in_h
     out_hs = (in_h // sp) * out_h // in_h  # output rows per shard
     identity = (out_h, out_w) == (in_h, in_w)
 
@@ -142,19 +154,27 @@ def make_sharded_interp_step(
 
     from tpufg.engine.pipeline import interp_planar
 
-    def pair_fn(prev_u8, curr_u8):
+    def pair_fn(prev_u8, curr_u8, mv_seed=None):
         # [Hs, W, 4] per-shard uint8 -> k outputs [out_hs, out_w, 4]
+        # (+ the next MV predictor state in temporal mode)
         p = frames_to_planar(prev_u8, F32)
         c = frames_to_planar(curr_u8, F32)
-        p_ext = halo_exchange_rows(p, "sp", HALO)
-        c_ext = halo_exchange_rows(c, "sp", HALO)
-        interps = interp_planar(
+        p_ext = halo_exchange_rows(p, "sp", halo)
+        c_ext = halo_exchange_rows(c, "sp", halo)
+        seed_ext = None
+        if temporal:
+            # the MV state shards exactly like frame rows (16-px lattice):
+            # exchange halo//16 lattice rows so the seeded search sees its
+            # neighbors' predictor, mirroring the frame halos
+            seed_ext = halo_exchange_rows(mv_seed, "sp", halo // 16)
+        res = interp_planar(
             p_ext, c_ext, mode=mode, factors=factors, dt=dt,
             block_size=cfg.block_size, search_radius=cfg.search_radius,
             interpret=interpret, mv_grid=cfg.mv_grid,
             model_params=model_params,
             subpel=cfg.subpel, mv_bias=cfg.mv_bias,
             mv_filter=cfg.mv_filter, occlusion_blend=cfg.occlusion_blend,
+            mv_seed=seed_ext, return_mv=temporal,
             # pmean over sp: all spatial shards must agree on the cut
             # decision or the fallback would seam at shard boundaries
             # (the mean includes each shard's replicated halo rows — a
@@ -163,6 +183,7 @@ def make_sharded_interp_step(
             # threshold semantics are unchanged)
             scene_cut_threshold=cfg.scene_cut_threshold,
             scene_cut_axis="sp" if cfg.scene_cut_threshold > 0 else None)
+        interps, mv_out = res if temporal else (res, None)
         # scale WITH the halo present (interior Lanczos taps see real
         # neighbor rows), then crop the scaled halo.  Non-identity sizes
         # use the fused scale+quantize+pack kernel (same bytes as
@@ -170,7 +191,7 @@ def make_sharded_interp_step(
         if identity:
             # interpolated frames still round-trip through planar; the
             # scaled-current output is handled below as a passthrough
-            pack = lambda x: planar_to_frames(x)[HALO:-HALO]
+            pack = lambda x: planar_to_frames(x)[halo:-halo]
         else:
             pack = lambda x: lanczos_scale_packed(
                 x, out_hs + 2 * halo_out, out_w, cfg.lanczos_a,
@@ -182,32 +203,57 @@ def make_sharded_interp_step(
             outs.append(curr_u8)
         else:
             outs.append(pack(c_ext))
+        if temporal:
+            # crop the halo lattice rows back off: the core rows are this
+            # shard's next predictor (neighbors re-exchange next pair)
+            h16 = halo // 16
+            outs.append(mv_out[:, h16:-h16, :])
         return tuple(outs)
 
     shard_fn = jax.vmap(pair_fn)  # local batch axis (dp block)
 
     specs = P("dp", "sp", None, None)
+    mv_specs = P("dp", None, "sp", None)  # [B, 2, lat_rows, lat_cols]
     smapped = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(specs, specs),
-        out_specs=(specs,) * k,
+        in_specs=(specs, specs) + ((mv_specs,) if temporal else ()),
+        out_specs=(specs,) * k + ((mv_specs,) if temporal else ()),
         check_vma=False,
     )
 
     in_sharding = NamedSharding(mesh, specs)
+    mv_sharding = NamedSharding(mesh, mv_specs)
 
-    @jax.jit
-    def step(prev_b, curr_b):
-        prev_b = jax.lax.with_sharding_constraint(prev_b, in_sharding)
-        curr_b = jax.lax.with_sharding_constraint(curr_b, in_sharding)
-        return smapped(prev_b, curr_b)
+    if temporal:
+        @jax.jit
+        def step(prev_b, curr_b, mv_b):
+            prev_b = jax.lax.with_sharding_constraint(prev_b, in_sharding)
+            curr_b = jax.lax.with_sharding_constraint(curr_b, in_sharding)
+            mv_b = jax.lax.with_sharding_constraint(mv_b, mv_sharding)
+            return smapped(prev_b, curr_b, mv_b)
+    else:
+        @jax.jit
+        def step(prev_b, curr_b):
+            prev_b = jax.lax.with_sharding_constraint(prev_b, in_sharding)
+            curr_b = jax.lax.with_sharding_constraint(curr_b, in_sharding)
+            return smapped(prev_b, curr_b)
 
     return step
 
 
-def pad_to_shard_lattice(h: int, sp: int) -> int:
-    """Smallest height >= h divisible by sp*HALO (frames edge-padded to
-    this before sharding; outputs cropped back)."""
-    lat = sp * HALO
+def sharded_mv_lattice_shape(cfg: EngineConfig) -> tuple[int, int, int]:
+    """Shape of the temporal MV state threaded through a TEMPORAL sharded
+    step (batch dim excluded): the full-frame 16-px lattice at the width
+    interp_planar pads to.  Rows need no extra padding — the sharded step
+    already requires the height on the shard lattice."""
+    from tpufg.kernels.common import round_up
+    return (2, cfg.input_height // 16, round_up(cfg.input_width, 64) // 16)
+
+
+def pad_to_shard_lattice(h: int, sp: int, temporal: bool = False) -> int:
+    """Smallest height >= h divisible by sp*halo (frames edge-padded to
+    this before sharding; outputs cropped back).  Temporal mode doubles
+    the halo (seeded-search reach)."""
+    lat = sp * (2 * HALO if temporal else HALO)
     return ((h + lat - 1) // lat) * lat
