@@ -275,6 +275,13 @@ def motion_search_sites(
     ``grid//2 + grid*k`` (tested).  Returns f32 [2, H//grid, W] (site
     rows, all columns — subsample columns ``grid//2::grid`` for the
     lattice).  Requires H % grid == 0, b == 8, grid == 16.
+
+    Tuning record (1088p r=16, one v5e): tile_w 1024 + dx_chunk 3 =
+    41 ms (the shipping config; 512 = 44).  Larger chunks would cut the
+    dominant lane rolls but dx_chunk 11/33 at tile_w >= 512 crashes this
+    environment's remote compile helper (3/3 HTTP 500), and chunk 11 at
+    tile_w 256 compiles but measures 49 ms — narrower tiles cost more
+    than the saved rolls.
     """
     if interpret is None:
         interpret = use_interpret()
