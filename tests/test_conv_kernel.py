@@ -21,6 +21,17 @@ def test_matches_lax_conv(rng, cin, cout, h, w):
                                    atol=2e-5 if dt == jnp.float32 else 3e-2)
 
 
+def test_cin32_auto_tile(rng):
+    # enc2-class shape: the auto tile drops to (16, 128) (VMEM-bounded
+    # block-diagonal row selector at Cin=32)
+    x = jnp.asarray(rng.random((32, 64, 256), np.float32))
+    wgt = jnp.asarray(rng.normal(0, 0.2, (64, 32, 3, 3)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 0.1, (64,)).astype(np.float32))
+    ref = rife._conv(x[None], wgt, b, 2, jnp.bfloat16)[0]
+    got = conv3x3_s2(x, wgt, b, compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-2)
+
+
 def test_non_tile_multiple_sizes(rng):
     # output 30x70 is far off the (32, 128) tile lattice; the pad+crop
     # must keep edge outputs identical (zero-pad == SAME semantics)
