@@ -18,17 +18,114 @@ relay-dominated and reported to stderr for context, not as the metric.)
 """
 
 import json
+import signal
+import subprocess
 import sys
 import time
+import traceback
 
 import numpy as np
+
+METRIC = "1080p->4K interpolated output fps/chip (pyramid+warp+scale, bf16)"
+
+# the whole bench must finish inside this (driver-side patience; also the
+# backstop if the device lease wedges MID-run after a healthy probe)
+TOTAL_BUDGET_S = 2400
+PROBE_TIMEOUT_S = 300          # jax init + one trivial op, incl. slow relay
+PROBE_ATTEMPTS = 3
+PROBE_BACKOFF_S = 60
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def emit(payload):
+    print(json.dumps(payload), flush=True)
+
+
+def degraded(reason, detail=""):
+    """The artifact must record WHY instead of rc=1 with a traceback.
+
+    Round-3 lesson (VERDICT r3 item 1): the axon relay's device lease can
+    wedge for hours — backend init then hangs indefinitely and a naive
+    bench leaves the round's BENCH artifact empty.  A degraded run still
+    prints the ONE JSON line the driver expects, with value 0 and an
+    explicit status, and exits 0.
+    """
+    emit({
+        "metric": METRIC,
+        "value": 0.0,
+        "unit": "fps",
+        "vs_baseline": 0.0,
+        "status": "degraded",
+        "reason": reason,
+        "detail": detail[-600:],
+        "last_known_good": {
+            "note": "driver-captured BENCH_r02 on a nearby code state",
+            "output_fps": 401.9, "paced_p99_ms_device": 2.15},
+    })
+
+
+def probe_backend():
+    """Check the device backend is acquirable, in a SUBPROCESS with a hard
+    timeout (a wedged relay hangs jax init forever; a child can be killed
+    without poisoning this process, and never overlaps it — the probe runs
+    to completion before the parent touches jax)."""
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "d = jax.devices()[0]\n"
+        "x = jnp.ones((8, 128)).sum()\n"
+        "print('PROBE_OK', d.platform, float(x), flush=True)\n"
+    )
+    last = ""
+    for attempt in range(1, PROBE_ATTEMPTS + 1):
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=PROBE_TIMEOUT_S)
+            out = (r.stdout or "") + (r.stderr or "")
+            if r.returncode == 0 and "PROBE_OK" in r.stdout:
+                log(f"backend probe ok in {time.perf_counter() - t0:.1f}s "
+                    f"(attempt {attempt}): {r.stdout.strip()}")
+                return True, ""
+            last = f"rc={r.returncode}: {out.strip()[-400:]}"
+        except subprocess.TimeoutExpired:
+            last = (f"probe timed out after {PROBE_TIMEOUT_S}s "
+                    "(device lease wedged?)")
+        log(f"backend probe attempt {attempt}/{PROBE_ATTEMPTS} failed: {last}")
+        if attempt < PROBE_ATTEMPTS:
+            time.sleep(PROBE_BACKOFF_S)
+    return False, last
+
+
+class BenchTimeout(Exception):
+    pass
+
+
 def main():
+    ok, detail = probe_backend()
+    if not ok:
+        degraded("backend unavailable after "
+                 f"{PROBE_ATTEMPTS} probe attempts", detail)
+        return
+    # watchdog: if the lease wedges mid-run, fail into a degraded line
+    # instead of hanging the driver (SIGALRM: main thread, Linux)
+    def on_alarm(*_):
+        raise BenchTimeout(f"bench exceeded {TOTAL_BUDGET_S}s budget")
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(TOTAL_BUDGET_S)
+    try:
+        run_bench()
+    except BaseException as e:  # noqa: BLE001 — artifact over traceback
+        traceback.print_exc(file=sys.stderr)
+        degraded(f"bench raised {type(e).__name__}", str(e))
+    finally:
+        signal.alarm(0)
+
+
+def run_bench():
     import jax
     import jax.numpy as jnp
 
@@ -145,13 +242,25 @@ def main():
         _ = np.asarray(leaf[tuple(slice(0, 1) for _ in leaf.shape)])
         lats.append(time.perf_counter() - t0)
     lats = np.array(lats) * 1e3
-    log(f"host-synced step latency raw (relay-bound): "
-        f"p50 {np.percentile(lats, 50):.1f} ms")
+    host_p50 = float(np.percentile(lats, 50))
+    log(f"host-synced step latency raw (relay-bound): p50 {host_p50:.1f} ms")
+
+    # Real-time feasibility, in one citable place (reference pacing loop:
+    # src/main.cpp:114-131).  Paced mode syncs every step (2 output
+    # frames), so max paced output fps = 2000 / per-step latency:
+    # on THIS host that latency is device time + the axon relay's ~35 ms
+    # RTT (the 4-fps demo ceiling); on a production direct-attached host
+    # the sync is microseconds, so the device p99 is the bound.
+    paced_this_host = 2e3 / host_p50 if host_p50 > 0 else 0.0
+    paced_direct = 1e3 / p99d if p99d > 0 else 0.0
+    log(f"max paced output fps: {paced_this_host:.1f} through this host's "
+        f"relay sync ({host_p50:.0f} ms/step), {paced_direct:.0f} "
+        "device-bound (direct-attached host, p99)")
 
     e2e_fps, sink_ms = bench_e2e(log)
 
-    print(json.dumps({
-        "metric": "1080p->4K interpolated output fps/chip (pyramid+warp+scale, bf16)",
+    emit({
+        "metric": METRIC,
         "value": round(out_fps, 1),
         "unit": "fps",
         "vs_baseline": round(out_fps / 60.0, 3),
@@ -162,7 +271,10 @@ def main():
         "p99_trace_samples": int(len(durs)) if len(durs) else 0,
         "e2e_y4m_fps": round(e2e_fps, 1),
         "sink_write_ms_per_4k_frame": round(sink_ms, 2),
-    }))
+        "host_sync_ms_p50": round(host_p50, 1),
+        "max_paced_output_fps_this_host": round(paced_this_host, 1),
+        "max_paced_output_fps_direct_host": round(paced_direct, 1),
+    })
 
 
 def bench_e2e(log):

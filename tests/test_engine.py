@@ -790,3 +790,56 @@ class TestPerPixelQuality:
         mvr = np.asarray(subpel_refine(p, c, mv, bias=0.1))
         inner = mvr[0][2:-2, 2:-2]
         assert np.abs(inner + 2.5).max() < 0.35, inner
+
+
+class TestRound3AdvisorRegressions:
+    """Flag combinations that used to die at jit trace deep inside the
+    warp kernel (round-3 advisor findings) now trace cleanly."""
+
+    def test_subpel_with_temporal_mv_traces(self):
+        """--temporal-mv --subpel: the subpel probe warp (single mode,
+        reach = full r_warp = 72 px with the temporal clamp) caps its
+        radius at the warp kernel's 54-px halo ceiling instead of
+        raising 'search radius too large' at trace."""
+        import jax
+        from tpufg.engine.pipeline import mv_lattice_shape
+        cfg = _cfg(output_width=64, output_height=64,
+                   motion_mode="pyramid", temporal_mv=True, subpel=True)
+        step = make_interp_step(cfg)
+        u8 = jax.ShapeDtypeStruct((64, 64, 4), jnp.uint8)
+        seed = jax.ShapeDtypeStruct(mv_lattice_shape(cfg), jnp.float32)
+        outs = jax.eval_shape(step, u8, u8, seed)
+        assert outs[0].shape == (64, 64, 4)
+
+    def test_subpel_with_large_search_radius_traces(self):
+        """--subpel --search-radius 60 (accepted by validate: blend reach
+        30 <= 54) used to exceed the single-mode probe warp's ceiling."""
+        import jax
+        cfg = _cfg(output_width=64, output_height=64,
+                   motion_mode="pyramid", subpel=True, search_radius=60)
+        step = make_interp_step(cfg)
+        u8 = jax.ShapeDtypeStruct((64, 64, 4), jnp.uint8)
+        outs = jax.eval_shape(step, u8, u8)
+        assert outs[-1].shape == (64, 64, 4)
+
+    def test_exhaustive_large_radius_traces_and_tile_fits_vmem(self):
+        """Exhaustive mode derives the sites-kernel tile width from the
+        search radius so the prev scratch stays inside the VMEM budget
+        (tile_w=1024 at r=80 needs ~27 MB and would fail Mosaic)."""
+        import jax
+        from tpufg.kernels.motion import sites_tile_w
+        from tpufg.kernels.common import round_up
+        # reference radius keeps the measured-optimal tile
+        assert sites_tile_w(16) == 1024
+        for r in (54, 80, 108):  # radii validate() accepts at factor 0.5
+            tw = sites_tile_w(r)
+            n_o = 2 * r + 8
+            pspan = round_up(tw + 7 + 2 * r, 128)
+            cspan = round_up(tw + 7 + 4, 128)
+            assert 4 * 8 * (n_o * pspan + 8 * cspan) * 4 <= 12 << 20, (r, tw)
+        cfg = _cfg(output_width=64, output_height=64,
+                   motion_mode="exhaustive", search_radius=80)
+        step = make_interp_step(cfg)
+        u8 = jax.ShapeDtypeStruct((64, 64, 4), jnp.uint8)
+        outs = jax.eval_shape(step, u8, u8)
+        assert outs[0].shape == (64, 64, 4)

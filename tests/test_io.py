@@ -468,3 +468,34 @@ class TestDeferredHeaderAndAsync:
                 import time
                 time.sleep(0.01)
             sink.close()
+
+
+class TestAsyncSinkPermanentFailure:
+    def test_async_sink_stays_failed_after_worker_error(self):
+        """After the first worker error the sink is permanently failed:
+        every subsequent write() re-raises and the inner sink receives
+        no further frames (a caller that catches the error cannot resume
+        the stream with silently missing frames)."""
+        import time
+        from tpufg.io.sinks import AsyncSink, FrameSink
+
+        wrote = []
+
+        class BoomOnce(FrameSink):
+            def write(self, frame):
+                if len(wrote) >= 2:
+                    raise OSError("disk full")
+                wrote.append(frame)
+
+        sink = AsyncSink(BoomOnce(), depth=1)
+        raised = 0
+        for _ in range(12):
+            try:
+                sink.write(np.zeros((2, 2, 4), np.uint8))
+            except OSError:
+                raised += 1
+            time.sleep(0.01)
+        assert raised >= 2  # every post-failure write raises, not just one
+        assert len(wrote) == 2  # nothing written after the failure
+        with pytest.raises(OSError, match="disk full"):
+            sink.close()

@@ -218,10 +218,16 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
         # site rows, 41 vs 98 ms at 1080p r=16 (kernels/motion.py).
         chunk = 3 if (2 * search_radius + 1) % 3 == 0 else 1
         if block_size == 8:
+            # tile_w derived from the radius so the sites scratch stays
+            # inside the VMEM budget (1024 at the reference r=16; narrower
+            # for the large radii validate() accepts — see sites_tile_w)
+            from tpufg.kernels.motion import sites_tile_w
             mv_rows = motion_search_sites(
                 pp, cp, block_size=block_size,
                 search_radius=search_radius, grid=MV_GRID,
-                interpret=interpret, tile_w=1024, dx_chunk=chunk)
+                interpret=interpret,
+                tile_w=sites_tile_w(search_radius, n_ch=p.shape[0]),
+                dx_chunk=chunk)
             mv = mv_rows[:, :, MV_GRID // 2::MV_GRID]
         else:  # non-reference block sizes keep the per-pixel kernel
             mv_px = motion_search_tiled(pp, cp, block_size=block_size,

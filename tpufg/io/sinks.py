@@ -205,9 +205,13 @@ class AsyncSink(FrameSink):
                 self._q.task_done()
 
     def _check(self):
+        # the sink stays PERMANENTLY failed after the first worker error:
+        # clearing the latch would let a caller that catches the raised
+        # error keep writing, resuming the worker mid-stream and producing
+        # an output with silently missing frames instead of a consistently
+        # failed sink.  Every subsequent write()/close() re-raises.
         if self._err is not None:
-            err, self._err = self._err, None
-            raise err
+            raise self._err
 
     def write(self, frame):
         self._check()

@@ -242,6 +242,27 @@ def _sites_kernel(prev_ref, curr_ref, out_ref, prev_s, curr_s, sem,
     out_ref[1] = best_dy
 
 
+def sites_tile_w(search_radius: int, n_ch: int = 4, b: int = 8,
+                 budget_bytes: int = 12 << 20) -> int:
+    """Largest sites-kernel tile width whose VMEM scratch fits the budget.
+
+    The prev scratch scales as n_ch * (2r+b) * 8 * pspan f32s, so the
+    tile_w that is optimal at the reference radius (1024 at r=16 — see
+    the tuning record on motion_search_sites) blows past the ~16 MB VMEM
+    budget at radii config.validate() still accepts (e.g. r=80 at factor
+    0.5 needs ~27 MB at tile_w=1024).  Walk tile_w down in 128-lane steps
+    until prev+curr scratch fit a conservative budget; 128 is the floor
+    (it fits every radius the warp envelope allows, r <= 108 -> ~11 MB).
+    """
+    n_o = 2 * int(search_radius) + b
+    for tw in range(1024, 127, -128):
+        pspan = round_up(tw + b - 1 + 2 * int(search_radius), 128)
+        cspan = round_up(tw + b - 1 + b // 2, 128)
+        if n_ch * 8 * (n_o * pspan + b * cspan) * 4 <= budget_bytes:
+            return tw
+    return 128
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_size", "search_radius", "grid", "tile_w",

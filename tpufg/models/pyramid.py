@@ -120,11 +120,20 @@ def subpel_refine(prev: jax.Array, curr: jax.Array, mv: jax.Array,
     # the parabola has no bracketing neighbor there (frac = 0, error up to
     # 0.5 px); the next round re-centers on the stepped estimate and fits
     # the fraction.  Two rounds reach quarter-pel-class accuracy.
+    # the probe warp runs in single mode, so its reach is the FULL radius —
+    # capped at the warp kernel's 54-px halo ceiling (halo <= 63 for the
+    # 256-col window).  Vectors beyond 54 px (reachable only with
+    # --temporal-mv, whose clamp+pyramid reach is 72) are clipped in the
+    # probe alone: their 3x3 cost surface degrades and the refinement
+    # contributes at most +-1.5 px/round there, while every in-reach site
+    # refines exactly.  Without the cap, --subpel with --temporal-mv or
+    # --search-radius > 54 failed at jit trace inside the warp kernel.
+    r_probe = min(int(search_radius), 54)
     for _ in range(max(1, int(iters))):
         # ``dtype`` speeds the probe warp (bf16 in production): costs
         # only drive an argmin + parabola, which tolerate the rounding
         warped = warp_blend_matmul(p32, p32, mv, block=g,
-                                   search_radius=int(search_radius),
+                                   search_radius=r_probe,
                                    single=True, dtype=dtype)
         # pad by 1 so the ±1 shifted views are static slices
         wp = jnp.pad(warped, ((0, 0), (1, 1), (1, 1)), mode="edge")
