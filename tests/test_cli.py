@@ -109,3 +109,62 @@ class TestValidateCLI:
         rc = vmain(["synthetic:64x64", "--frames", "1",
                     "--motion-mode", "none", "--dtype", "f32"])
         assert rc == 0
+
+
+class TestQualityPreset:
+    """--quality preset (VERDICT r3 item 4): one switch for the measured
+    best-quality configuration, with a measured-headroom auto mode."""
+
+    def _captured_cfg(self, monkeypatch, argv):
+        import tpufg.engine.runner as runner_mod
+        from tpufg.engine.runner import StreamStats
+        seen = {}
+
+        def fake_run_stream(cfg, source, sink, **kw):
+            seen["cfg"] = cfg
+            return StreamStats(frames_in=1, frames_out=1, fps=1.0,
+                               latency={})
+        monkeypatch.setattr(runner_mod, "run_stream", fake_run_stream)
+        assert main(argv) == 0
+        return seen["cfg"]
+
+    def test_quality_on_applies_preset(self, monkeypatch):
+        cfg = self._captured_cfg(monkeypatch, [
+            "--quality", "--no-pacing", "--frames", "2",
+            "synthetic:64x64"])
+        assert cfg.mv_grid == 1 and cfg.subpel and cfg.mv_filter
+        assert cfg.mv_bias == pytest.approx(0.1)
+
+    def test_explicit_flags_beat_preset(self, monkeypatch):
+        cfg = self._captured_cfg(monkeypatch, [
+            "--quality", "--mv-grid", "8", "--mv-bias", "0.3",
+            "--no-pacing", "--frames", "2", "synthetic:64x64"])
+        assert cfg.mv_grid == 8
+        assert cfg.mv_bias == pytest.approx(0.3)
+        assert cfg.subpel and cfg.mv_filter  # the rest still applies
+
+    def test_quality_skips_crossfade_mode(self, monkeypatch):
+        cfg = self._captured_cfg(monkeypatch, [
+            "--quality", "--motion-mode", "none", "--no-pacing",
+            "--frames", "2", "synthetic:64x64"])
+        assert cfg.mv_grid == 16 and not cfg.subpel  # preset is a no-op
+
+    @pytest.mark.parametrize("rate,expect_quality", [(400.0, True),
+                                                     (40.0, False)])
+    def test_quality_auto_headroom_decision(self, monkeypatch, rate,
+                                            expect_quality):
+        import tpufg.engine.runner as runner_mod
+        monkeypatch.setattr(runner_mod, "measure_step_rate",
+                            lambda cfg, n=6: rate)
+        cfg = self._captured_cfg(monkeypatch, [
+            "--quality", "auto", "--target-fps", "60", "--no-pacing",
+            "--frames", "2", "synthetic:64x64"])
+        assert (cfg.mv_grid == 1) is expect_quality
+        assert cfg.subpel is expect_quality
+
+    def test_quality_preset_runs_end_to_end(self, tmp_path):
+        out = str(tmp_path / "q.raw")
+        assert main(["--quality", "--no-pacing", "--frames", "3",
+                     "--output", out, "synthetic:64x64"]) == 0
+        import os
+        assert os.path.getsize(out) == 5 * 64 * 64 * 4  # 1 + 2*2 frames

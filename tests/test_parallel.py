@@ -346,3 +346,48 @@ class TestShardedLearned:
             motion_mode="learned"))
         with pytest.raises(ConfigError):
             make_sharded_interp_step(mesh, cfg)
+
+
+class TestShardedMotionModeMatrix:
+    """Every motion_mode x --devices combination either works (interior
+    parity vs the single-chip step) or fails at config time.  pyramid,
+    learned and temporal-mv are pinned above; exhaustive and none here
+    (VERDICT r3 item 5 — these cells were previously untested)."""
+
+    @pytest.mark.parametrize("mode,r", [("exhaustive", 8), ("none", 16)])
+    def test_sharded_mode_matches_single_chip_interior(self, devices, rng,
+                                                       mode, r):
+        from tpufg.config import EngineConfig, resolve_sizes
+        from tpufg.engine.pipeline import make_interp_step
+
+        mesh = make_spatial_mesh(8, dp=2)
+        sp = 4
+        in_h, in_w = sp * HALO, 128
+        cfg = resolve_sizes(EngineConfig(
+            input_width=in_w, input_height=in_h,
+            output_width=in_w * 2, output_height=in_h * 2,
+            dtype="f32", motion_mode=mode, search_radius=r))
+        step = make_sharded_interp_step(mesh, cfg)
+
+        tex = rng.integers(0, 256, (in_h + 16, in_w + 16, 4), dtype=np.uint8)
+        prev1 = np.ascontiguousarray(tex[:in_h, :in_w])
+        curr1 = np.ascontiguousarray(tex[4:in_h + 4, 2:in_w + 2])
+        prev2 = np.ascontiguousarray(tex[8:in_h + 8, :in_w])
+        curr2 = np.ascontiguousarray(tex[2:in_h + 2, 6:in_w + 6])
+        out_i, out_c = step(jnp.asarray(np.stack([prev1, prev2])),
+                            jnp.asarray(np.stack([curr1, curr2])))
+
+        ref_step = make_interp_step(cfg)
+        interior = slice(96 * 2, -96 * 2)
+        for bi, (p, c) in enumerate([(prev1, curr1), (prev2, curr2)]):
+            ref_i, ref_c = ref_step(jnp.asarray(p), jnp.asarray(c))
+            # scaled-current: bitwise interior in f32 (same contract as
+            # the pyramid parity test)
+            np.testing.assert_array_equal(
+                np.asarray(out_c[bi])[interior],
+                np.asarray(ref_c)[interior],
+                err_msg=f"{mode} curr pair {bi}: sharded interior diverges")
+            d = np.abs(np.asarray(out_i[bi])[interior].astype(int)
+                       - np.asarray(ref_i)[interior].astype(int))
+            assert d.max() <= 1, f"{mode} interp pair {bi}: {d.max()}"
+            assert (d > 0).mean() < 1e-4, f"{mode} interp pair {bi}"

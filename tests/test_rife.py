@@ -67,3 +67,78 @@ def test_tp_sharded_training_step(rng):
         params, opt_state, loss = train_step(params, opt_state, prev, curr,
                                              target)
     assert np.isfinite(float(loss))
+
+
+class TestIFNet2:
+    """Two-stage coarse-to-fine head (v2, round 4)."""
+
+    def test_forward2_shapes_finite(self, triplet):
+        prev, curr, _ = triplet
+        params = rife.init_params2(jax.random.PRNGKey(0), hidden=32)
+        out = rife.forward2(params, prev, curr, 0.5)
+        assert out.shape == prev.shape
+        assert bool(jnp.all(jnp.isfinite(out)))
+        pred, pred8 = rife.forward2(params, prev, curr, 0.5, with_aux=True)
+        assert pred8.shape == (2, 4, prev.shape[2] // 8, prev.shape[3] // 8)
+
+    def test_training2_reduces_loss(self, triplet):
+        prev, curr, target = triplet
+        init_state, train_step, _ = rife.make_train_step(1e-3, arch="v2")
+        params, opt_state = init_state(jax.random.PRNGKey(0), 32)
+        losses = []
+        for _ in range(8):
+            params, opt_state, loss = train_step(params, opt_state, prev,
+                                                 curr, target)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+
+    def test_interpolate_fast_dispatches_v2(self, rng):
+        params = rife.init_params2(jax.random.PRNGKey(1), hidden=32)
+        prev = jnp.asarray(rng.random((4, 32, 64)).astype(np.float32))
+        curr = jnp.asarray(rng.random((4, 32, 64)).astype(np.float32))
+        out = rife.interpolate_fast(params, prev, curr, 0.5)
+        assert out.shape == prev.shape
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_checkpoint_roundtrip_infers_arch(self, tmp_path):
+        from tpufg.utils.checkpoint import save_pytree
+        for init, name in ((rife.init_params, "v1"),
+                           (rife.init_params2, "v2")):
+            params = init(jax.random.PRNGKey(2), hidden=32)
+            p = str(tmp_path / f"{name}.npz")
+            save_pytree(p, params)
+            loaded = rife.load_params(p)
+            assert rife.is_v2(loaded) == (name == "v2")
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b)), params, loaded)
+
+    def test_tp_sharded_training2_step(self, rng):
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array(devs[:8]).reshape(4, 2), axis_names=("dp", "tp"))
+        init_state, train_step, _ = rife.make_train_step(1e-4, mesh=mesh,
+                                                         arch="v2")
+        with mesh:
+            params, opt_state = init_state(jax.random.PRNGKey(0), 32)
+            prev = jnp.asarray(rng.random((8, 4, 32, 64)).astype(np.float32))
+            curr = jnp.asarray(rng.random((8, 4, 32, 64)).astype(np.float32))
+            target = 0.5 * (prev + curr)
+            params, opt_state, loss = train_step(params, opt_state, prev,
+                                                 curr, target)
+        assert np.isfinite(float(loss))
+
+    def test_engine_runs_v2_head(self, rng, tmp_path):
+        from tpufg.config import EngineConfig, resolve_sizes
+        from tpufg.engine.pipeline import make_interp_step
+        from tpufg.utils.checkpoint import save_pytree
+        params = rife.init_params2(jax.random.PRNGKey(3), hidden=32)
+        cfg = resolve_sizes(EngineConfig(
+            input_width=64, input_height=32, output_width=64,
+            output_height=32, dtype="f32", motion_mode="learned"))
+        step = make_interp_step(cfg, model_params=params)
+        f = rng.integers(0, 256, (2, 32, 64, 4), dtype=np.uint8)
+        outs = step(jnp.asarray(f[0]), jnp.asarray(f[1]))
+        assert outs[0].shape == (32, 64, 4)

@@ -131,6 +131,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "units) exceeds T, in-between frames repeat the "
                         "nearer source instead of interpolating across the "
                         "cut (0 disables; ~0.1 is typical)")
+    p.add_argument("--quality", nargs="?", const="on",
+                   choices=["on", "auto"], default=None, metavar="MODE",
+                   help="best-quality interpolation preset (= --mv-grid 1 "
+                        "--subpel --mv-bias 0.1 --mv-filter; explicit flags "
+                        "win).  'auto' measures the preset's step rate "
+                        "first and keeps it only when it sustains 1.5x the "
+                        "target input rate, else falls back to the latency "
+                        "defaults")
     p.add_argument("--temporal-mv", action="store_true",
                    help="seed each pair's motion search with the previous "
                         "pair's MV field (codec-style temporal predictor): "
@@ -208,6 +216,41 @@ def main(argv: Optional[list[str]] = None) -> int:
         log.error(str(e))
         source.close()
         return 1
+
+    if (args.quality and cfg.enable_interpolation
+            and cfg.motion_mode in ("pyramid", "exhaustive")):
+        from tpufg.config import apply_quality_preset
+        user_set = frozenset(
+            n for n in ("mv_grid", "mv_bias")
+            if getattr(args, n) != parser.get_default(n))
+        try:
+            qcfg = apply_quality_preset(cfg, user_set).validate()
+        except ConfigError as e:
+            log.error(str(e))
+            source.close()
+            return 1
+        if args.quality == "auto":
+            # headroom check: keep the preset only when its measured step
+            # rate sustains 1.5x the target input rate (compiles + times
+            # the preset step once; a rejected preset costs that compile)
+            from tpufg.engine.runner import measure_step_rate
+            try:
+                rate = measure_step_rate(qcfg)
+            except (ValueError, RuntimeError) as e:
+                log.error(str(e))
+                source.close()
+                return 1
+            need = 1.5 * cfg.target_fps
+            if rate >= need:
+                log.info(f"--quality auto: preset sustains {rate:.1f} "
+                         f"pairs/s >= 1.5x target {cfg.target_fps} — "
+                         "quality preset on")
+                cfg = qcfg
+            else:
+                log.info(f"--quality auto: preset rate {rate:.1f} pairs/s "
+                         f"< {need:.1f} — keeping the latency defaults")
+        else:
+            cfg = qcfg
 
     log.info(f"Input: {cfg.input_width}x{cfg.input_height}  Output: "
              f"{cfg.output_width}x{cfg.output_height}  fps: {cfg.target_fps}"

@@ -160,6 +160,36 @@ class EngineConfig:
         return self
 
 
+def apply_quality_preset(cfg: EngineConfig,
+                         user_set: frozenset[str] = frozenset()
+                         ) -> EngineConfig:
+    """The measured best-quality interpolation configuration as one switch.
+
+    Equivalent to ``--mv-grid 1 --subpel --mv-bias 0.1 --mv-filter`` — the
+    per-pixel OBMC warp + sub-pel MV refinement + aperture-stabilizing
+    cost bias + outlier median (measured r3: 37.8 dB on the shear corpus
+    vs 21.5 dB at the 16-px latency default, at ~116 output fps 1080p->4K
+    — ~2x the 60-fps target, which is why a preset can afford it).
+
+    ``user_set``: field names the user pinned explicitly on the command
+    line — those keep their values (explicit flags beat the preset).
+    Pyramid/exhaustive modes only: "none" has no MVs to refine and the
+    learned head has its own flow path.
+    """
+    if cfg.motion_mode not in ("pyramid", "exhaustive"):
+        return cfg
+    upd = {}
+    if "mv_grid" not in user_set:
+        upd["mv_grid"] = 1
+    if "subpel" not in user_set:
+        upd["subpel"] = True
+    if "mv_bias" not in user_set:
+        upd["mv_bias"] = 0.1
+    if "mv_filter" not in user_set:
+        upd["mv_filter"] = True
+    return dataclasses.replace(cfg, **upd)
+
+
 def resolve_sizes(
     cfg: EngineConfig,
     detected_input: Optional[tuple[int, int]] = None,

@@ -127,7 +127,8 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
                   occlusion_blend: bool = False,
                   scene_cut_threshold: float = 0.0,
                   scene_cut_axis: str | None = None,
-                  mv_seed=None, return_mv: bool = False):
+                  mv_seed=None, return_mv: bool = False,
+                  motion_skip_alpha: bool = False):
     """The production interpolation core, shared by the single-chip step and
     the multi-chip sharded step (tpufg.parallel.spatial) so multi-chip runs
     the SAME math per shard.
@@ -155,6 +156,15 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
     ``return_mv`` the return value is ``(interps, mv_out)`` where mv_out
     is the estimated field to seed the next pair (zeroed on a scene cut —
     the predictor must not leak across a discontinuity).
+
+    ``motion_skip_alpha``: drop the alpha channel from MOTION ESTIMATION
+    only (search kernels, probe warps, subpel costs; the output warp
+    still carries all 4 channels).  Valid when both frames hold the SAME
+    spatially constant alpha (every real video wire here: y4m decode
+    synthesizes 255; X11-class capture is constant 0xFF): the alpha
+    distance term is then exactly 0.0 for every candidate, and since
+    adding 0.0f is exact, every cost — and the MV field — is BITWISE the
+    4-channel result (tested) at ~25% less search arithmetic.
     """
     _, h, w = p.shape
     interps = []
@@ -197,11 +207,15 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
     hp, wp = round_up(h, mult), round_up(w, mult)
     pp = _edge_pad_chw(p.astype(F32), hp, wp)
     cp = _edge_pad_chw(c.astype(F32), hp, wp)
+    # motion-estimation views: alpha dropped when it is degenerate (see
+    # docstring) — the output warp below always reads the full pp/cp
+    mp = pp[:3] if motion_skip_alpha and pp.shape[0] == 4 else pp
+    mc = cp[:3] if motion_skip_alpha and cp.shape[0] == 4 else cp
     if mode == "pyramid":
         # latency mode (skip_finest_refine=1): skip the full-res residual
         # refine (the single most expensive stage; MV lattice effectively 2x)
         mv = pyramid_motion_search(
-            pp, cp, levels=PYR_LEVELS, base_radius=4,
+            mp, mc, levels=PYR_LEVELS, base_radius=4,
             refine_radius=2, block_size=block_size, grid=MV_GRID,
             skip_finest_refine=skip_finest_refine, interpret=interpret,
             seed=mv_seed, bias=mv_bias)
@@ -223,14 +237,14 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
             # for the large radii validate() accepts — see sites_tile_w)
             from tpufg.kernels.motion import sites_tile_w
             mv_rows = motion_search_sites(
-                pp, cp, block_size=block_size,
+                mp, mc, block_size=block_size,
                 search_radius=search_radius, grid=MV_GRID,
                 interpret=interpret,
-                tile_w=sites_tile_w(search_radius, n_ch=p.shape[0]),
+                tile_w=sites_tile_w(search_radius, n_ch=mp.shape[0]),
                 dx_chunk=chunk)
             mv = mv_rows[:, :, MV_GRID // 2::MV_GRID]
         else:  # non-reference block sizes keep the per-pixel kernel
-            mv_px = motion_search_tiled(pp, cp, block_size=block_size,
+            mv_px = motion_search_tiled(mp, mc, block_size=block_size,
                                         search_radius=search_radius,
                                         exact_box=False,
                                         interpret=interpret,
@@ -248,6 +262,10 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
         # latency mode) MV quantization, not warp granularity, is the
         # quality ceiling on smooth motion — see models/pyramid.py
         from tpufg.models.pyramid import subpel_refine
+        # subpel keeps all 4 channels even under motion_skip_alpha: its
+        # probe warp zero-pads beyond the frame (unlike the search
+        # kernels' clamp-to-edge fetch), so the alpha term is NOT zero at
+        # border blocks and dropping it would break the bitwise contract
         mv = subpel_refine(pp, cp, mv, grid=MV_GRID, search_radius=r_warp,
                            bias=mv_bias, dtype=dt)
     if mv_filter:
@@ -303,7 +321,8 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
 
 def make_interp_step(cfg: EngineConfig, precision: str = "fast",
                      model_params=None, wire: str = "u8",
-                     sink_wire: str = "rgba") -> Callable:
+                     sink_wire: str = "rgba",
+                     motion_skip_alpha: bool = False) -> Callable:
     """(prev_u8, curr_u8) -> (interp_scaled_u8, ..., curr_scaled_u8).
 
     The fps-multiplying streaming step.  With cfg.fps_multiplier == k it
@@ -317,6 +336,12 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
     both boundaries (fast precision only) — the host views uint8 frames
     as int32 for free, and the step skips the on-device u8<->i32 bitcast
     relayouts (~0.5 ms/pair at 1080p->4K).
+
+    ``motion_skip_alpha``: drop alpha from motion estimation (fast path
+    only; bitwise-equal MV field when both frames carry the same constant
+    alpha — see interp_planar).  The engine sets this from the source's
+    ``const_alpha`` hint; the exact oracle path ignores it (the oracle IS
+    the 4-channel spec).
     """
     out_h, out_w = cfg.output_height, cfg.output_width
     t = cfg.interpolation_factor
@@ -386,7 +411,8 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
                             mv_filter=cfg.mv_filter,
                             occlusion_blend=cfg.occlusion_blend,
                             scene_cut_threshold=cfg.scene_cut_threshold,
-                            mv_seed=mv_seed, return_mv=temporal)
+                            mv_seed=mv_seed, return_mv=temporal,
+                            motion_skip_alpha=motion_skip_alpha)
         interps, mv_out = res if temporal else (res, None)
         # separate scale calls per output (a stacked-channel single call
         # measured ~1.3 ms slower: the concat materializes both frames)

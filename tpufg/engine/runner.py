@@ -89,20 +89,21 @@ class StreamingEngine:
                 return wf
         return "rgba"
 
-    def _build_steps(self, sink_wire: str) -> None:
-        if self._steps_wire == sink_wire:
+    def _build_steps(self, sink_wire: str, skip_alpha: bool = False) -> None:
+        if self._steps_wire == (sink_wire, skip_alpha):
             return
         cfg = self.cfg
         if cfg.enable_interpolation:
             self._step2 = make_interp_step(
                 cfg, "exact" if self.precision == "exact" else "fast",
                 model_params=self.model_params, wire=self._wire,
-                sink_wire=sink_wire)
+                sink_wire=sink_wire,
+                motion_skip_alpha=skip_alpha and self.precision != "exact")
         self._step1 = (make_exact_scale_step(cfg)
                        if self.precision == "exact"
                        else make_scale_step(cfg, wire=self._wire,
                                             sink_wire=sink_wire))
-        self._steps_wire = sink_wire
+        self._steps_wire = (sink_wire, skip_alpha)
 
     def run(self, source: FrameSource, sink: FrameSink,
             max_frames: Optional[int] = None, paced: bool = True,
@@ -114,7 +115,12 @@ class StreamingEngine:
         segment's first frame after the first segment)."""
         cfg = self.cfg
         stats = StreamStats()
-        self._build_steps(self._sink_wire(sink))
+        # sources that guarantee one constant alpha across frames let the
+        # step drop the zero-contribution alpha term from motion search
+        # (bitwise-equal MV field — see interp_planar motion_skip_alpha)
+        self._build_steps(self._sink_wire(sink),
+                          skip_alpha=getattr(source, "const_alpha", None)
+                          is True)
         # zero-copy slot sources (NativeRawSource) need each upload synced
         # before the iterator advances; capture before any re-wrapping
         sync_upload = bool(getattr(source, "zero_copy", False))
@@ -272,6 +278,52 @@ class StreamingEngine:
         return stats
 
 
+def measure_step_rate(cfg: EngineConfig, n: int = 6) -> float:
+    """Measured steady-state interpolation-step rate, in frame PAIRS/sec.
+
+    Compiles cfg's production step, runs one synced warmup (compile time
+    excluded), then times ``n`` enqueued steps with one device sync —
+    bench.py's steady-state methodology at small n.  Used by ``--quality
+    auto``'s headroom check.  Each call feeds fresh on-device copies (the
+    step donates its inputs in equal-size configs) and threads the MV
+    predictor when cfg.temporal_mv is set.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpufg.engine.pipeline import make_interp_step, mv_lattice_shape
+    from tpufg.utils.stats import device_sync
+
+    step = make_interp_step(cfg, wire="i32")
+    rng = np.random.default_rng(0)
+    h, w = cfg.input_height, cfg.input_width
+    fr = [jax.device_put(jnp.asarray(
+        rng.integers(0, 2**32, (h, w), dtype=np.uint32).view(np.int32)
+        .reshape(h, w))) for _ in range(2)]
+    temporal = (cfg.temporal_mv and cfg.enable_interpolation
+                and cfg.motion_mode == "pyramid")
+    mv = (jnp.zeros(mv_lattice_shape(cfg), jnp.float32)
+          if temporal else None)
+
+    def one(mv):
+        # fresh on-device copies: donated inputs must not be reused
+        p, c = fr[0] + 0, fr[1] + 0
+        if temporal:
+            *outs, mv = step(p, c, mv)
+        else:
+            outs = step(p, c)
+        return outs, mv
+
+    outs, mv = one(mv)  # warmup/compile
+    device_sync(outs[-1])
+    t0 = time.perf_counter()
+    for _ in range(max(1, n)):
+        outs, mv = one(mv)
+    device_sync(outs[-1])
+    dt = time.perf_counter() - t0
+    return max(1, n) / dt if dt > 0 else 0.0
+
+
 def run_stream(cfg: EngineConfig, source: FrameSource, sink: FrameSink,
                precision: str = "fast", max_frames: Optional[int] = None,
                paced: bool = True, model_params=None,
@@ -320,7 +372,9 @@ def run_sharded_stream(cfg: EngineConfig, source: FrameSource,
     out_h_pad = h_pad * out_h // in_h
     pcfg = dataclasses.replace(cfg, input_height=h_pad,
                                output_height=out_h_pad)
-    step = make_sharded_interp_step(mesh, pcfg, model_params=model_params)
+    step = make_sharded_interp_step(
+        mesh, pcfg, model_params=model_params,
+        motion_skip_alpha=getattr(source, "const_alpha", None) is True)
     scale0 = make_scale_step(cfg)  # very first frame: scale-only
     mv_state = None
     if temporal:

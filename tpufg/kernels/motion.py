@@ -187,31 +187,38 @@ def _sites_kernel(prev_ref, curr_ref, out_ref, prev_s, curr_s, sem,
         + (tx * TW - anchor)
     mask = ((gj >= 0) & (gj < W)).astype(F32)
 
+    # channel-stacked curr [n_ch*b*8, ext]: one subtract/square per
+    # candidate instead of n_ch (the per-channel add order below is
+    # unchanged, so costs stay bitwise)
+    curr_all = jnp.concatenate(curr_c, axis=0)
+
     def dy_body(dy_idx, state):
         dyf = (dy_idx - r).astype(F32)
         # prev rows for stacked block row (u, i): band o = u + dy_idx of
         # tile-group i — a dynamic index on the BAND axis (no sublane
-        # arithmetic; bands are pre-stacked in XLA)
-        shifted = []
-        for c in range(n_ch):
-            rows = [prev_s[c, pl.ds(u + dy_idx, 1)].reshape(8, pspan)
-                    for u in range(b)]
-            shifted.append(jnp.concatenate(rows, axis=0))  # [b*8, pspan]
+        # arithmetic; bands are pre-stacked in XLA).  All channels stack
+        # into ONE [n_ch*b*8, pspan] value so each chunk pays a single
+        # lane roll — the dominant per-candidate cost — instead of n_ch.
+        rows = [prev_s[c, pl.ds(u + dy_idx, 1)].reshape(8, pspan)
+                for c in range(n_ch) for u in range(b)]
+        shifted = jnp.concatenate(rows, axis=0)      # [n_ch*b*8, pspan]
 
         n_dx = 2 * r + 1
         chunk = dx_chunk if dx_chunk else 1
+        rows8 = 8 * b
 
         def dx_chunk_body(ch_idx, st):
-            rolled = [pltpu.roll(shifted[c], -(ch_idx * chunk), 1)
-                      for c in range(n_ch)]
+            rolled = pltpu.roll(shifted, -(ch_idx * chunk), 1)
             for k in range(chunk):
                 best_cost, best_dx, best_dy = st
                 dxf = (ch_idx * chunk + k - r).astype(F32)
-                d = curr_c[0] - rolled[0][:, k:k + ext]
-                acc = d * d
+                dd = curr_all - rolled[:, k:k + ext]
+                dd = dd * dd                          # [n_ch*b*8, ext]
+                # per-pixel channel sum in the original c=0..n_ch-1 order:
+                # ((d0^2 + d1^2) + d2^2) + d3^2, bitwise the unstacked loop
+                acc = dd[0:rows8]
                 for c in range(1, n_ch):
-                    d = curr_c[c] - rolled[c][:, k:k + ext]
-                    acc = acc + d * d
+                    acc = acc + dd[c * rows8:(c + 1) * rows8]
                 dist = jnp.sqrt(acc) * mask
                 # separable box-sum, same association as the tiled
                 # kernel's exact_box=False path: x first (sequential),

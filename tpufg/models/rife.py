@@ -206,12 +206,26 @@ def interpolate_fast(params: dict, prev: jax.Array, curr: jax.Array,
     granularity, the fractional lerp only softens texture, it cannot add
     real sub-pixel alignment.
     """
-    from tpufg.kernels.warp_matmul import warp_blend_matmul
-
+    if is_v2(params):
+        return interpolate_fast2(params, prev, curr, t, grid, max_flow,
+                                 dtype, integer_flow)
     if grid != 4 * SCALE:
         raise ValueError(f"interpolate_fast expects grid == {4 * SCALE}")
     out = _trunk_raw(params, prev[None], curr[None], dtype=dtype,
                      fast=True)[0]
+    return _fast_tail(out, prev, curr, t, grid, max_flow, dtype,
+                      integer_flow)
+
+
+def _fast_tail(out, prev, curr, t, grid, max_flow, dtype, integer_flow):
+    """Shared inference tail: head output [5, H/4, W/4] (flows in 1/4-res
+    units + mask logit) -> fused frame via the lattice flow sample and the
+    production one-hot warp (see interpolate_fast's docstring for the
+    closed-form lattice derivation and the integer_flow trade)."""
+    from tpufg.kernels.warp_matmul import warp_blend_matmul
+
+    if grid != 4 * SCALE:
+        raise ValueError(f"interpolate_fast expects grid == {4 * SCALE}")
     hq, wq = out.shape[1:]
     nh, nw = hq // 4, wq // 4
     # closed-form lattice sample: the old path bilinearly upsampled the
@@ -245,18 +259,193 @@ def interpolate_fast(params: dict, prev: jax.Array, curr: jax.Array,
     return _fuse(warped_p, warped_c, mask, t)
 
 
+# ---------------------------------------------------------------------------
+# v2: two-stage coarse-to-fine IFNet (round 4).
+#
+# The r3 plateau record (docs/DESIGN.md 5b: L1 flat at ~0.044 across lr/
+# width sweeps) pinned the single-stage 1/4-res flow as the limiter, naming
+# the pyramidal IFNet as the known fix.  v2 is the smallest such network:
+#
+#   stage 1 @ 1/8: enc3(s2) -> body -> head0: coarse flow + mask
+#   stage 2 @ 1/4: warp the 1/4-res frames by the upsampled coarse flow,
+#                  then predict RESIDUAL flow + mask from
+#                  [pair features, warped frames, coarse flow, mask logit]
+#
+# Same scheme as RIFE's IFBlock cascade (coarse flow, warp, refine), sized
+# so inference still clears 60 output fps at 4K: stage 2 replaces v1's
+# 1/4-res body convs rather than adding to them, and stage 1 runs at 1/8
+# (a quarter of the 1/4-res cost per conv).
+# ---------------------------------------------------------------------------
+
+def init_params2(key: jax.Array, hidden: int = HIDDEN) -> dict:
+    """Two-stage parameters; same {name: {w, b}} OIHW layout as v1."""
+    def he(k, shape):
+        fan_in = int(np.prod(shape[1:]))
+        return jax.random.normal(k, shape, F32) * np.sqrt(2.0 / fan_in)
+
+    ks = jax.random.split(key, 8)
+    h = hidden
+    return {
+        # shared encoder (pair-joint, as v1): 1/2 then 1/4
+        "enc1": {"w": he(ks[0], (h // 2, 8, 3, 3)), "b": jnp.zeros((h // 2,), F32)},
+        "enc2": {"w": he(ks[1], (h, h // 2, 3, 3)), "b": jnp.zeros((h,), F32)},
+        # stage 1 (coarse, 1/8)
+        "enc3": {"w": he(ks[2], (h, h, 3, 3)), "b": jnp.zeros((h,), F32)},
+        "c_body": {"w": he(ks[3], (h, h, 3, 3)), "b": jnp.zeros((h,), F32)},
+        "c_head": {"w": he(ks[4], (5, h, 3, 3)), "b": jnp.zeros((5,), F32)},
+        # stage 2 (refine, 1/4): input = F4 (h) + warped p4/c4 (8) +
+        # coarse flow (4, 1/4-res units) + coarse mask logit (1)
+        "r_in": {"w": he(ks[5], (h, h + 13, 3, 3)), "b": jnp.zeros((h,), F32)},
+        "r_body": {"w": he(ks[6], (h, h, 3, 3)), "b": jnp.zeros((h,), F32)},
+        "r_head": {"w": he(ks[7], (5, h, 3, 3)), "b": jnp.zeros((5,), F32)},
+    }
+
+
+def is_v2(params: dict) -> bool:
+    return "enc3" in params
+
+
+def _down2_mean(x: jax.Array) -> jax.Array:
+    """2x2 box downsample of [B, C, H, W] (exact mean)."""
+    b, c, h, w = x.shape
+    return x.reshape(b, c, h // 2, 2, w // 2, 2).mean((3, 5))
+
+
+def _up2(out: jax.Array) -> jax.Array:
+    """Head output [B, 5, h, w] -> [B, 5, 2h, 2w]; flow VALUES double with
+    resolution, the mask logit does not."""
+    b, _, h, w = out.shape
+    up = jax.image.resize(out, (b, 5, 2 * h, 2 * w), "bilinear")
+    return up * jnp.array([2, 2, 2, 2, 1], F32)[None, :, None, None]
+
+
+def _head2_raw(params: dict, prev: jax.Array, curr: jax.Array, dtype=F32,
+               fast: bool = False):
+    """Two-stage trunk: frame pair -> refined head output
+    [B, 5, H/4, W/4] (flows in 1/4-res pixel units + mask logit) plus the
+    coarse stage-1 output [B, 5, H/8, W/8] for auxiliary supervision.
+
+    ``fast``: route the full-res encoder conv through the Pallas kernel
+    (inference, B == 1 — see _trunk_raw).
+    """
+    x = jnp.concatenate([prev, curr], axis=1).astype(F32)
+    if fast and x.shape[0] == 1:
+        from tpufg.kernels.conv import conv3x3_s2
+        h1 = jax.nn.relu(conv3x3_s2(x[0], params["enc1"]["w"],
+                                    params["enc1"]["b"],
+                                    compute_dtype=dtype)[None])
+    else:
+        h1 = jax.nn.relu(_conv(x, params["enc1"]["w"], params["enc1"]["b"],
+                               2, dtype))
+    f4 = jax.nn.relu(_conv(h1, params["enc2"]["w"], params["enc2"]["b"], 2,
+                           dtype))
+    # stage 1 @ 1/8
+    f8 = jax.nn.relu(_conv(f4, params["enc3"]["w"], params["enc3"]["b"], 2,
+                           dtype))
+    g = jax.nn.relu(_conv(f8, params["c_body"]["w"], params["c_body"]["b"],
+                          1, dtype))
+    out0 = _conv(g, params["c_head"]["w"], params["c_head"]["b"])
+    # stage 2 @ 1/4: warp the quarter-res frames by the coarse flow and
+    # refine the residual.  The warp here is the differentiable gather —
+    # at 1/4 resolution it is 16x cheaper than full-res, cheap enough for
+    # the inference path too (measured; the one-hot warp's block lattice
+    # is too coarse at this scale).
+    out0_4 = _up2(out0)
+    p4 = _down2_mean(_down2_mean(prev.astype(F32)))
+    c4 = _down2_mean(_down2_mean(curr.astype(F32)))
+    p4w = bilinear_warp(p4, out0_4[:, 0:2])
+    c4w = bilinear_warp(c4, out0_4[:, 2:4])
+    r = jnp.concatenate([f4, p4w, c4w, out0_4], axis=1)
+    r = jax.nn.relu(_conv(r, params["r_in"]["w"], params["r_in"]["b"], 1,
+                          dtype))
+    r = jax.nn.relu(_conv(r, params["r_body"]["w"], params["r_body"]["b"],
+                          1, dtype))
+    res = _conv(r, params["r_head"]["w"], params["r_head"]["b"])
+    return out0_4 + res, out0
+
+
+def forward2(params: dict, prev: jax.Array, curr: jax.Array,
+             t: float = 0.5, with_aux: bool = False):
+    """v2 training path: predict the frame at time t (H, W divisible by 8).
+
+    ``with_aux``: also return the coarse stage-1 prediction at 1/8
+    resolution (per-stage supervision, RIFE-style)."""
+    out1, out0 = _head2_raw(params, prev, curr)
+    b, _, hq, wq = out1.shape
+    full = jax.image.resize(out1, (b, 5, hq * SCALE, wq * SCALE), "bilinear")
+    flow_p = full[:, 0:2] * F32(SCALE)
+    flow_c = full[:, 2:4] * F32(SCALE)
+    mask = jax.nn.sigmoid(full[:, 4:5])
+    warped_p = bilinear_warp(prev.astype(F32), flow_p)
+    warped_c = bilinear_warp(curr.astype(F32), flow_c)
+    pred = _fuse(warped_p, warped_c, mask, t)
+    if not with_aux:
+        return pred
+    # coarse prediction AT 1/8 scale: warp the 1/8 frames by the coarse
+    # flow directly (flows are already in 1/8-res units)
+    p8 = _down2_mean(_down2_mean(_down2_mean(prev.astype(F32))))
+    c8 = _down2_mean(_down2_mean(_down2_mean(curr.astype(F32))))
+    w_p8 = bilinear_warp(p8, out0[:, 0:2])
+    w_c8 = bilinear_warp(c8, out0[:, 2:4])
+    pred8 = _fuse(w_p8, w_c8, jax.nn.sigmoid(out0[:, 4:5]), t)
+    return pred, pred8
+
+
+def loss_fn2(params, prev, curr, target, t: float = 0.5,
+             aux_weight: float = 0.3):
+    """L1 on the refined prediction + weighted L1 on the coarse stage at
+    1/8 scale (per-stage supervision keeps stage 1 from collapsing to
+    zero flow and letting stage 2 do all the work beyond its reach)."""
+    pred, pred8 = forward2(params, prev, curr, t, with_aux=True)
+    t8 = _down2_mean(_down2_mean(_down2_mean(target.astype(F32))))
+    return (jnp.mean(jnp.abs(pred - target.astype(F32)))
+            + F32(aux_weight) * jnp.mean(jnp.abs(pred8 - t8)))
+
+
+def interpolate_fast2(params: dict, prev: jax.Array, curr: jax.Array,
+                      t: float = 0.5, grid: int = 16,
+                      max_flow: int = 8, dtype=jnp.bfloat16,
+                      integer_flow: bool = True) -> jax.Array:
+    """v2 inference: the two-stage trunk's refined head output feeds the
+    SAME lattice-sample + one-hot-warp tail as v1 (the refined output has
+    v1's exact shape/semantics: [5, H/4, W/4], flows in 1/4-res units)."""
+    out1, _ = _head2_raw(params, prev[None], curr[None], dtype=dtype,
+                         fast=True)
+    return _fast_tail(out1[0], prev, curr, t, grid, max_flow, dtype,
+                      integer_flow)
+
+
+def param_shardings2(mesh: Mesh) -> dict:
+    """v2 tensor-parallel layout (same rule as v1: hidden channels over
+    'tp' for interior convs; heads gather)."""
+    def ns(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    tp_w = {"w": ns("tp", None, None, None), "b": ns("tp")}
+    return {
+        "enc1": tp_w, "enc2": tp_w, "enc3": tp_w,
+        "c_body": tp_w, "r_in": tp_w, "r_body": tp_w,
+        "c_head": {"w": ns(None, "tp", None, None), "b": ns(None)},
+        "r_head": {"w": ns(None, "tp", None, None), "b": ns(None)},
+    }
+
+
 def load_params(path: str) -> dict:
     """Load a checkpoint saved by tpufg.utils.checkpoint.save_pytree.
 
-    The hidden width is inferred from the first leaf (body1 bias).
+    The architecture is inferred from the leaf count (v1: 5 layers = 10
+    leaves; v2: 8 layers = 16) and the hidden width from the first leaf
+    (a body bias in both layouts' sorted key order).
     """
     import numpy as np2
 
     from tpufg.utils.checkpoint import load_pytree
 
     data = np2.load(path)
-    hidden = int(data["leaf_0"].shape[0])  # body1.b
-    like = init_params(jax.random.PRNGKey(0), hidden)
+    n_leaves = sum(1 for k in data.files if k.startswith("leaf_"))
+    hidden = int(data["leaf_0"].shape[0])  # v1 body1.b / v2 c_body.b
+    init = init_params2 if n_leaves == 16 else init_params
+    like = init(jax.random.PRNGKey(0), hidden)
     return load_pytree(path, like)
 
 
@@ -287,19 +476,27 @@ def make_train_step(
     learning_rate: float = 1e-4,
     mesh: Optional[Mesh] = None,
     t: float = 0.5,
+    arch: str = "v1",
 ) -> tuple[Callable, Callable, optax.GradientTransformation]:
     """Returns (init_state, train_step, optimizer).
 
     With a mesh (axes 'dp' and 'tp'), parameters are tp-sharded and batches
     dp-sharded; XLA GSPMD inserts the collectives.  train_step signature:
     (params, opt_state, prev, curr, target) -> (params, opt_state, loss).
+
+    ``arch``: "v1" (single-stage 1/4-res flow) or "v2" (two-stage
+    coarse-to-fine; adds the 1/8-scale auxiliary supervision term).
     """
+    if arch not in ("v1", "v2"):
+        raise ValueError(f"arch must be v1 or v2, got {arch!r}")
+    v2 = arch == "v2"
+    lf = loss_fn2 if v2 else loss_fn
     opt = optax.adam(learning_rate)
 
     def init_state(key, hidden: int = HIDDEN):
-        params = init_params(key, hidden)
+        params = (init_params2 if v2 else init_params)(key, hidden)
         if mesh is not None:
-            shardings = param_shardings(mesh)
+            shardings = (param_shardings2 if v2 else param_shardings)(mesh)
             params = jax.tree_util.tree_map(
                 lambda x, s: jax.device_put(x, s), params, shardings)
         return params, opt.init(params)
@@ -310,7 +507,7 @@ def make_train_step(
             prev = jax.lax.with_sharding_constraint(prev, data_sh)
             curr = jax.lax.with_sharding_constraint(curr, data_sh)
             target = jax.lax.with_sharding_constraint(target, data_sh)
-        loss, grads = jax.value_and_grad(loss_fn)(params, prev, curr, target, t)
+        loss, grads = jax.value_and_grad(lf)(params, prev, curr, target, t)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

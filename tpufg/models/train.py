@@ -59,6 +59,9 @@ def main(argv=None) -> int:
     p.add_argument("--crop", default="128x192")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--hidden", type=int, default=64)
+    p.add_argument("--arch", choices=["v1", "v2"], default="v1",
+                   help="v1 = single-stage 1/4-res flow; v2 = two-stage "
+                        "coarse-to-fine (1/8 flow -> warp -> 1/4 residual)")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", default=None)
     p.add_argument("--log-every", type=int, default=20)
@@ -73,8 +76,9 @@ def main(argv=None) -> int:
         log.error(f"bad --crop {args.crop!r} (HxW)")
         return 1
     crop_h, crop_w = int(m.group(1)), int(m.group(2))
-    if crop_h % 4 or crop_w % 4:
-        log.error("crop dims must be divisible by 4")
+    mult = 8 if args.arch == "v2" else 4  # v2 adds the 1/8 coarse stage
+    if crop_h % mult or crop_w % mult:
+        log.error(f"crop dims must be divisible by {mult}")
         return 1
 
     import jax
@@ -94,7 +98,8 @@ def main(argv=None) -> int:
         mesh = Mesh(np.array(devs[:args.dp * args.tp]).reshape(
             args.dp, args.tp), axis_names=("dp", "tp"))
 
-    init_state, train_step, _ = rife.make_train_step(args.lr, mesh=mesh)
+    init_state, train_step, _ = rife.make_train_step(args.lr, mesh=mesh,
+                                                     arch=args.arch)
     params, opt_state = init_state(jax.random.PRNGKey(0), args.hidden)
     if args.resume:
         params = load_pytree(args.resume, params)

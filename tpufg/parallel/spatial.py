@@ -76,6 +76,7 @@ def make_sharded_interp_step(
     cfg: EngineConfig,
     interpret: bool | None = None,
     model_params=None,
+    motion_skip_alpha: bool = False,
 ) -> Callable:
     """Jit'd multi-chip fps-multiplying step — the PRODUCTION pipeline math
     (tpufg.engine.pipeline.interp_planar: pyramid with skip_finest_refine=1,
@@ -175,6 +176,7 @@ def make_sharded_interp_step(
             subpel=cfg.subpel, mv_bias=cfg.mv_bias,
             mv_filter=cfg.mv_filter, occlusion_blend=cfg.occlusion_blend,
             mv_seed=seed_ext, return_mv=temporal,
+            motion_skip_alpha=motion_skip_alpha,
             # pmean over sp: all spatial shards must agree on the cut
             # decision or the fallback would seam at shard boundaries
             # (the mean includes each shard's replicated halo rows — a
