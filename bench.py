@@ -18,11 +18,9 @@ relay-dominated and reported to stderr for context, not as the metric.)
 """
 
 import json
-import signal
 import subprocess
 import sys
 import time
-import traceback
 
 import numpy as np
 
@@ -100,29 +98,38 @@ def probe_backend():
     return False, last
 
 
-class BenchTimeout(Exception):
-    pass
-
-
 def main():
+    if "--inner" in sys.argv:
+        # child process: the actual measurement.  Exceptions traceback to
+        # stderr and exit nonzero; the parent translates that (or a hang)
+        # into a degraded JSON line.  A SIGALRM-in-this-process watchdog
+        # would NOT work: a wedged lease blocks inside a C call where
+        # Python never gets to run the handler — only an external kill
+        # (the parent's subprocess timeout) is reliable.
+        run_bench()
+        return
     ok, detail = probe_backend()
     if not ok:
         degraded("backend unavailable after "
                  f"{PROBE_ATTEMPTS} probe attempts", detail)
         return
-    # watchdog: if the lease wedges mid-run, fail into a degraded line
-    # instead of hanging the driver (SIGALRM: main thread, Linux)
-    def on_alarm(*_):
-        raise BenchTimeout(f"bench exceeded {TOTAL_BUDGET_S}s budget")
-    signal.signal(signal.SIGALRM, on_alarm)
-    signal.alarm(TOTAL_BUDGET_S)
     try:
-        run_bench()
-    except BaseException as e:  # noqa: BLE001 — artifact over traceback
-        traceback.print_exc(file=sys.stderr)
-        degraded(f"bench raised {type(e).__name__}", str(e))
-    finally:
-        signal.alarm(0)
+        r = subprocess.run([sys.executable, __file__, "--inner"],
+                           stdout=subprocess.PIPE, text=True,
+                           timeout=TOTAL_BUDGET_S)
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout or b"")
+        out = out.decode() if isinstance(out, bytes) else out
+        degraded(f"bench exceeded {TOTAL_BUDGET_S}s budget "
+                 "(device lease wedged mid-run?)", out[-400:])
+        return
+    line = next((ln for ln in (r.stdout or "").splitlines()
+                 if ln.startswith("{")), None)
+    if r.returncode == 0 and line:
+        print(line, flush=True)
+    else:
+        degraded(f"bench run failed rc={r.returncode}",
+                 (r.stdout or "")[-400:])
 
 
 def run_bench():

@@ -17,7 +17,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_config(tag, cfg_kw, n, steps_kind, model_params=None):
+def run_config(tag, cfg_kw, n, steps_kind, model_params=None,
+               skip_alpha=True):
     import jax
     import jax.numpy as jnp
 
@@ -28,6 +29,10 @@ def run_config(tag, cfg_kw, n, steps_kind, model_params=None):
     in_h, in_w = cfg.input_height, cfg.input_width
     rng = np.random.default_rng(0)
     base = rng.integers(0, 256, (in_h + 32, in_w + 32, 4), dtype=np.uint8)
+    # real video wires carry one constant alpha (y4m synthesizes 255;
+    # capture-class RGBA is constant 0xFF), so bench content does too and
+    # the steps take the engine's alpha-skip search path (bitwise MV field)
+    base[..., 3] = 255
 
     def as_i32(x):
         return jnp.asarray(
@@ -50,7 +55,8 @@ def run_config(tag, cfg_kw, n, steps_kind, model_params=None):
         outs_per_step = 1
     else:
         step = make_interp_step(cfg, wire="i32",
-                                model_params=model_params)
+                                model_params=model_params,
+                                motion_skip_alpha=skip_alpha)
         outs_per_step = max(2, int(cfg.fps_multiplier))
 
     def sync(o):
@@ -96,13 +102,22 @@ def main():
                dict(input_width=3840, input_height=2160, output_width=3840,
                     output_height=2160, dtype="bf16", motion_mode="pyramid"),
                max(8, args.n // 3), "interp")
-    # 5b: learned head needs trained params; train a tiny head on the fly
+    # 5b: the BUNDLED checkpoint (production arch + width); untrained
+    # full-width weights only if the repo somehow ships none
     try:
         import jax
 
         from tpufg.models import rife
-        params = rife.init_params(jax.random.PRNGKey(0), hidden=32)
-        run_config("5b: 4K→4K learned head (untrained weights, timing only)",
+        ckpt = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "checkpoints", "head64.npz")
+        if os.path.exists(ckpt):
+            params = rife.load_params(ckpt)
+            arch = "v2" if rife.is_v2(params) else "v1"
+            tag5b = f"5b: 4K→4K learned head (bundled {arch} checkpoint)"
+        else:
+            params = rife.init_params(jax.random.PRNGKey(0))
+            tag5b = "5b: 4K→4K learned head (untrained weights, timing only)"
+        run_config(tag5b,
                    dict(input_width=3840, input_height=2160,
                         output_width=3840, output_height=2160, dtype="bf16",
                         motion_mode="learned"),
