@@ -82,7 +82,12 @@ class TestIFNet2:
         assert pred8.shape == (2, 4, prev.shape[2] // 8, prev.shape[3] // 8)
 
     def test_training2_reduces_loss(self, triplet):
-        prev, curr, target = triplet
+        prev, curr, _ = triplet
+        # NOT the midpoint blend: v2's zero-initialized flow heads start
+        # exactly at the blend (flow 0, mask 0.5), so a blend target
+        # would be optimal at init — bias toward prev instead, which the
+        # mask must learn
+        target = 0.8 * prev + 0.2 * curr
         init_state, train_step, _ = rife.make_train_step(1e-3, arch="v2")
         params, opt_state = init_state(jax.random.PRNGKey(0), 32)
         losses = []

@@ -292,12 +292,17 @@ def init_params2(key: jax.Array, hidden: int = HIDDEN) -> dict:
         # stage 1 (coarse, 1/8)
         "enc3": {"w": he(ks[2], (h, h, 3, 3)), "b": jnp.zeros((h,), F32)},
         "c_body": {"w": he(ks[3], (h, h, 3, 3)), "b": jnp.zeros((h,), F32)},
-        "c_head": {"w": he(ks[4], (5, h, 3, 3)), "b": jnp.zeros((5,), F32)},
+        # flow heads are ZERO-initialized (RIFE practice): training starts
+        # from zero flow / mask 0.5.  He-init heads emit large random
+        # flows, and a bilinear warp's flow gradient is the LOCAL image
+        # gradient — with random large flows it is noise, and the loss
+        # sits flat at the blend floor (observed: 2000 steps, no movement)
+        "c_head": {"w": jnp.zeros((5, h, 3, 3), F32), "b": jnp.zeros((5,), F32)},
         # stage 2 (refine, 1/4): input = F4 (h) + warped p4/c4 (8) +
         # coarse flow (4, 1/4-res units) + coarse mask logit (1)
         "r_in": {"w": he(ks[5], (h, h + 13, 3, 3)), "b": jnp.zeros((h,), F32)},
         "r_body": {"w": he(ks[6], (h, h, 3, 3)), "b": jnp.zeros((h,), F32)},
-        "r_head": {"w": he(ks[7], (5, h, 3, 3)), "b": jnp.zeros((5,), F32)},
+        "r_head": {"w": jnp.zeros((5, h, 3, 3), F32), "b": jnp.zeros((5,), F32)},
     }
 
 
@@ -346,15 +351,30 @@ def _head2_raw(params: dict, prev: jax.Array, curr: jax.Array, dtype=F32,
                           1, dtype))
     out0 = _conv(g, params["c_head"]["w"], params["c_head"]["b"])
     # stage 2 @ 1/4: warp the quarter-res frames by the coarse flow and
-    # refine the residual.  The warp here is the differentiable gather —
-    # at 1/4 resolution it is 16x cheaper than full-res, cheap enough for
-    # the inference path too (measured; the one-hot warp's block lattice
-    # is too coarse at this scale).
+    # refine the residual.
     out0_4 = _up2(out0)
     p4 = _down2_mean(_down2_mean(prev.astype(F32)))
     c4 = _down2_mean(_down2_mean(curr.astype(F32)))
-    p4w = bilinear_warp(p4, out0_4[:, 0:2])
-    c4w = bilinear_warp(c4, out0_4[:, 2:4])
+    if fast:
+        # inference: the differentiable gather warp is off-budget on TPU
+        # (XLA gather measured ~6.6 s/frame at 4K full res in r2 — still
+        # ~0.4 s at 1/4), so the coarse warp uses the production one-hot
+        # block warp on a 4-px lattice of the 1/4 frame (= the same 16-px
+        # full-res block granularity as the final warp), integer flows.
+        # Stage 2's residual head absorbs the quantization — it sees
+        # blockier coarse warps than in training, but its JOB is
+        # correcting coarse-warp error.
+        from tpufg.kernels.warp_matmul import warp_blend_matmul
+        lat = out0_4[0, :, 2::4, 2::4]              # [5, H/16, W/16]
+        fp4 = jnp.round(lat[0:2])
+        fc4 = jnp.round(lat[2:4])
+        kw = dict(single=True, block=4, search_radius=4, dtype=dtype,
+                  integer_offsets=True)
+        p4w = warp_blend_matmul(p4[0], p4[0], fp4, **kw)[None]
+        c4w = warp_blend_matmul(c4[0], c4[0], fc4, **kw)[None]
+    else:
+        p4w = bilinear_warp(p4, out0_4[:, 0:2])
+        c4w = bilinear_warp(c4, out0_4[:, 2:4])
     r = jnp.concatenate([f4, p4w, c4w, out0_4], axis=1)
     r = jax.nn.relu(_conv(r, params["r_in"]["w"], params["r_in"]["b"], 1,
                           dtype))
