@@ -147,3 +147,26 @@ class TestIFNet2:
         f = rng.integers(0, 256, (2, 32, 64, 4), dtype=np.uint8)
         outs = step(jnp.asarray(f[0]), jnp.asarray(f[1]))
         assert outs[0].shape == (32, 64, 4)
+
+
+class TestTrainCLI:
+    def test_train_main_raw_file_epochs(self, rng, tmp_path):
+        """Trainer on a raw FILE source: size flags accepted, multiple
+        epochs over a short file (re-opened per epoch — the one-shot
+        native ring cannot re-iterate), checkpoint written."""
+        from tpufg.models import train
+        raw = str(tmp_path / "t.raw")
+        frames = rng.integers(0, 256, (10, 48, 64, 4), dtype=np.uint8)
+        open(raw, "wb").write(frames.tobytes())
+        ckpt = str(tmp_path / "h.npz")
+        # 10 frames -> 8 triplets/epoch -> 4 batches/epoch; 9 steps needs
+        # 3 epochs
+        rc = train.main([raw, "--input-width", "64", "--input-height", "48",
+                         "--arch", "v2", "--steps", "9", "--batch", "2",
+                         "--crop", "32x48", "--hidden", "16",
+                         "--checkpoint", ckpt])
+        assert rc == 0
+        import os
+        assert os.path.exists(ckpt)
+        loaded = rife.load_params(ckpt)
+        assert rife.is_v2(loaded)

@@ -28,10 +28,13 @@ from tpufg.utils.logging import get_logger
 def _triplets(source, crop_h, crop_w, batch, seed=0):
     """Yield (prev, target, curr) batches of planar f32 crops."""
     rng = np.random.default_rng(seed)
+    # zero-copy sources (native prefetch ring) recycle their slots: a
+    # frame buffered across iterations must be copied out first
+    zero_copy = bool(getattr(source, "zero_copy", False))
     frames = []
     batch_buf = []
     for frame in source:
-        frames.append(frame)
+        frames.append(np.array(frame) if zero_copy else frame)
         if len(frames) > 3:
             frames.pop(0)
         if len(frames) == 3:
@@ -54,6 +57,10 @@ def main(argv=None) -> int:
     log = get_logger()
     p = argparse.ArgumentParser(prog="tpufg-train", description=__doc__)
     p.add_argument("input")
+    p.add_argument("--input-width", type=int, default=0,
+                   help="raw-file input width (self-describing sources "
+                        "auto-detect)")
+    p.add_argument("--input-height", type=int, default=0)
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--crop", default="128x192")
@@ -105,9 +112,12 @@ def main(argv=None) -> int:
         params = load_pytree(args.resume, params)
         log.info(f"resumed parameters from {args.resume}")
 
+    def open_epoch_source():
+        return open_source(args.input, args.input_width, args.input_height,
+                           frames=max(args.steps * args.batch + 8, 64))
+
     try:
-        source = open_source(args.input, frames=max(args.steps * args.batch
-                                                    + 8, 64))
+        source = open_epoch_source()
     except (SourceError, OSError) as e:
         log.error(str(e))
         return 1
@@ -116,15 +126,28 @@ def main(argv=None) -> int:
         step_i = 0
         t0 = time.perf_counter()
         losses = []
+        epoch = 0
         while step_i < args.steps:
+            # one epoch, fresh crop positions (seed=epoch).  File specs
+            # re-open per epoch (one-shot sources like the native
+            # prefetch ring cannot re-iterate); a consumed stream (stdin)
+            # yields nothing on re-entry and stops cleanly below
+            if epoch > 0:
+                run.source.close()
+                try:
+                    run.source = open_epoch_source()
+                except (SourceError, OSError):
+                    break
+            got = 0
             for prev, target, curr in _triplets(
-                    source, crop_h, crop_w, args.batch):
+                    run.source, crop_h, crop_w, args.batch, seed=epoch):
                 params_, opt_state_, loss = train_step(
                     run.params, run.opt_state, jnp.asarray(prev),
                     jnp.asarray(curr), jnp.asarray(target))
                 run.params, run.opt_state = params_, opt_state_
                 losses.append(float(loss))
                 step_i += 1
+                got += 1
                 if step_i % args.log_every == 0:
                     rate = step_i / (time.perf_counter() - t0)
                     log.info(f"step {step_i}/{args.steps}  loss "
@@ -132,16 +155,18 @@ def main(argv=None) -> int:
                              f"({rate:.1f} steps/s)")
                 if step_i >= args.steps:
                     break
-            else:
+            epoch += 1
+            if not got:
                 log.warning("source exhausted before --steps; stopping")
                 break
         return losses
 
     run.params, run.opt_state = params, opt_state
+    run.source = source
     ctx = mesh if mesh is not None else _nullcontext()
     with ctx:
         losses = run()
-    source.close()
+    run.source.close()
 
     if losses:
         log.info(f"final loss {losses[-1]:.5f} (first {losses[0]:.5f})")
