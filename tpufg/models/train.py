@@ -25,8 +25,15 @@ import numpy as np
 from tpufg.utils.logging import get_logger
 
 
-def _triplets(source, crop_h, crop_w, batch, seed=0):
-    """Yield (prev, target, curr) batches of planar f32 crops."""
+def _triplets(source, crop_h, crop_w, batch, seed=0, skip_cuts=0.0):
+    """Yield (prev, target, curr) batches of planar f32 crops.
+
+    ``skip_cuts`` > 0: drop triplets whose outer frames differ by more
+    than that mean |d| (in [0,1] units) — a triplet straddling a shot
+    change has no motion ground truth, and training on it teaches the
+    head to blend instead of interpolate (the engine handles real cuts
+    with --scene-cut, not the head).  Same detector as the engine's
+    scene-cut fallback."""
     rng = np.random.default_rng(seed)
     # zero-copy sources (native prefetch ring) recycle their slots: a
     # frame buffered across iterations must be copied out first
@@ -38,6 +45,12 @@ def _triplets(source, crop_h, crop_w, batch, seed=0):
         if len(frames) > 3:
             frames.pop(0)
         if len(frames) == 3:
+            if skip_cuts > 0.0:
+                d = np.mean(np.abs(
+                    frames[0][..., :3].astype(np.float32)
+                    - frames[2][..., :3].astype(np.float32))) / 255.0
+                if d > skip_cuts:
+                    continue
             h, w = frames[0].shape[:2]
             if h < crop_h or w < crop_w:
                 raise ValueError(
@@ -72,6 +85,10 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", default=None)
     p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--skip-cuts", type=float, default=0.0, metavar="T",
+                   help="drop triplets whose outer frames differ by mean "
+                        "|d| > T (0..1 units): shot-change triplets have "
+                        "no motion ground truth (0 = keep all)")
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel mesh axis size")
     p.add_argument("--tp", type=int, default=1,
@@ -140,7 +157,8 @@ def main(argv=None) -> int:
                     break
             got = 0
             for prev, target, curr in _triplets(
-                    run.source, crop_h, crop_w, args.batch, seed=epoch):
+                    run.source, crop_h, crop_w, args.batch, seed=epoch,
+                    skip_cuts=args.skip_cuts):
                 params_, opt_state_, loss = train_step(
                     run.params, run.opt_state, jnp.asarray(prev),
                     jnp.asarray(curr), jnp.asarray(target))
