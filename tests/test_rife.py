@@ -149,6 +149,67 @@ class TestIFNet2:
         assert outs[0].shape == (32, 64, 4)
 
 
+class TestFastConsistentTraining:
+    """ft mode (round 4): the training loss runs a differentiable replica
+    of the deployed inference tail — pin the replica against the REAL
+    inference path (Pallas conv + one-hot block warp) at f32, and that
+    gradients still reach the flow heads through the straight-through
+    rounding."""
+
+    @pytest.fixture
+    def u8pair(self, rng):
+        f = rng.integers(0, 256, (2, 4, 64, 96)).astype(np.float32) / 255.0
+        return jnp.asarray(f[0]), jnp.asarray(f[1])
+
+    def _noisy(self, params, key=7, scale=0.03):
+        # v2 flow heads are zero-init; perturb so flows/masks are nonzero
+        return jax.tree_util.tree_map(
+            lambda x: x + scale * jax.random.normal(
+                jax.random.PRNGKey(key), x.shape), params)
+
+    @pytest.mark.parametrize("arch", ["v1", "v2"])
+    def test_ft_matches_inference_f32(self, arch, u8pair):
+        prev, curr = u8pair
+        init = rife.init_params if arch == "v1" else rife.init_params2
+        fwd = rife.forward if arch == "v1" else rife.forward2
+        params = self._noisy(init(jax.random.PRNGKey(1)))
+        ft = fwd(params, prev[None], curr[None], 0.5, ft=True)
+        if arch == "v2":
+            pass  # forward2 returns pred directly when with_aux=False
+        fast = rife.interpolate_fast(params, prev, curr, 0.5,
+                                     dtype=jnp.float32)
+        assert float(jnp.max(jnp.abs(ft[0] - fast))) < 1e-5
+
+    @pytest.mark.parametrize("arch", ["v1", "v2"])
+    def test_ft_gradients_reach_flow_heads(self, arch, u8pair):
+        prev, curr = u8pair
+        init = rife.init_params if arch == "v1" else rife.init_params2
+        lf = rife.loss_fn if arch == "v1" else rife.loss_fn2
+        params = self._noisy(init(jax.random.PRNGKey(1)))
+        target = 0.3 * prev + 0.7 * curr
+        grads = jax.grad(lambda p: lf(p, prev[None], curr[None],
+                                      target[None], ft=True))(params)
+        head = grads["head" if arch == "v1" else "r_head"]["w"]
+        assert bool(jnp.all(jnp.isfinite(head)))
+        assert float(jnp.max(jnp.abs(head))) > 0.0
+
+    def test_ft_training_reduces_loss(self, u8pair):
+        prev, curr = u8pair
+        target = 0.8 * prev + 0.2 * curr
+        # fine-tune lr: from zero-init at 1e-3 the straight-through flow
+        # gradients oscillate (measured: loss 0.10 -> 0.26 plateau); ft is
+        # documented as a fine-tuning mode and 1e-4 descends monotonically
+        init_state, train_step, _ = rife.make_train_step(
+            1e-4, arch="v2", ft=True)
+        params, opt_state = init_state(jax.random.PRNGKey(0), 16)
+        losses = []
+        for _ in range(6):
+            params, opt_state, loss = train_step(
+                params, opt_state, prev[None], curr[None], target[None])
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+
+
 class TestTrainCLI:
     def test_train_main_raw_file_epochs(self, rng, tmp_path):
         """Trainer on a raw FILE source: size flags accepted, multiple

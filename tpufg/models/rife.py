@@ -23,6 +23,7 @@ with f32 master weights.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -154,6 +155,57 @@ def _trunk(params: dict, prev: jax.Array, curr: jax.Array, dtype=F32,
             jax.nn.sigmoid(full[:, 4:5]))
 
 
+def _st_round(x: jax.Array) -> jax.Array:
+    """Straight-through rounding: forward = round(x), gradient = identity
+    (the QAT estimator) — lets training run the integer flows inference
+    actually executes while keeping the flow heads trainable."""
+    return x + jax.lax.stop_gradient(jnp.round(x) - x)
+
+
+def _block_flow(lat: jax.Array, clip_r: float, block: int) -> jax.Array:
+    """Lattice flow [B, 2, nh, nw] -> per-pixel constant-per-block integer
+    flow [B, 2, nh*block, nw*block]: straight-through round + the warp
+    kernel's clamp (warp_matmul.py clips MV to +-search_radius), then
+    nearest upsampling (each block is one rigid shift, exactly the one-hot
+    block warp's granularity)."""
+    f = jnp.clip(_st_round(lat), -clip_r, clip_r)
+    return jnp.repeat(jnp.repeat(f, block, axis=2), block, axis=3)
+
+
+def _ft_tail(out: jax.Array, prev: jax.Array, curr: jax.Array, t: float,
+             grid: int = 16, max_flow: int = 8) -> jax.Array:
+    """Differentiable replica of the inference tail (:func:`_fast_tail`)
+    for fast-consistent training: the SAME closed-form lattice sample,
+    straight-through integer rounding in place of round(), and a
+    constant-per-block backward warp in place of the one-hot block warp.
+
+    With integer flows the bilinear gather degenerates to an exact shift
+    with clamp-to-edge taps — semantically identical to the single-mode
+    one-hot warp (which edge-pads and applies no OOB blank), so forward
+    values match inference to f32 rounding (pinned in tests/test_rife.py).
+    Training on this tail removes the train/inference distribution shift
+    the r3/r4 evals measured as the fast path's ~0.4-0.9 dB loss.
+
+    ``out``: raw head output [B, 5, H/4, W/4]; ``prev``/``curr``:
+    [B, C, H, W] with H, W divisible by ``grid``.
+    """
+    if grid != 4 * SCALE:
+        raise ValueError(f"_ft_tail expects grid == {4 * SCALE}")
+    b, _, hq, wq = out.shape
+    nh, nw = hq // 4, wq // 4
+    ry = (out[:, :, 1::4][:, :, :nh] * F32(0.375)
+          + out[:, :, 2::4][:, :, :nh] * F32(0.625))
+    lat = (ry[:, :, :, 1::4][:, :, :, :nw] * F32(0.375)
+           + ry[:, :, :, 2::4][:, :, :, :nw] * F32(0.625))
+    flow_p = _block_flow(lat[:, 0:2] * F32(SCALE), float(max_flow), grid)
+    flow_c = _block_flow(lat[:, 2:4] * F32(SCALE), float(max_flow), grid)
+    mask = jax.nn.sigmoid(jax.image.resize(
+        out[:, 4:5], (b, 1, hq * SCALE, wq * SCALE), "bilinear"))
+    warped_p = bilinear_warp(prev.astype(F32), flow_p)
+    warped_c = bilinear_warp(curr.astype(F32), flow_c)
+    return _fuse(warped_p, warped_c, mask, t)
+
+
 def _fuse(warped_p, warped_c, mask, t):
     tt = F32(t)
     # occlusion-weighted fusion biased by temporal position
@@ -163,14 +215,22 @@ def _fuse(warped_p, warped_c, mask, t):
 
 
 def forward(params: dict, prev: jax.Array, curr: jax.Array,
-            t: float = 0.5) -> jax.Array:
+            t: float = 0.5, ft: bool = False) -> jax.Array:
     """Predict the frame at time t between prev and curr (training path).
 
-    ``prev``/``curr``: planar [B, 4, H, W] in [0,1]; H, W divisible by 4.
+    ``prev``/``curr``: planar [B, 4, H, W] in [0,1]; H, W divisible by 4
+    (by 16 with ``ft``).
     Uses the differentiable per-pixel gather warp — correct gradients, but
     XLA gather is slow at scale (6.6 s/frame at 4K); inference uses
     :func:`interpolate_fast`.
+
+    ``ft`` (fast-consistent training): run the differentiable replica of
+    the INFERENCE tail instead — lattice-sampled, straight-through-rounded
+    block flows (see :func:`_ft_tail`) — so the loss measures exactly what
+    the deployed fast path produces.
     """
+    if ft:
+        return _ft_tail(_trunk_raw(params, prev, curr), prev, curr, t)
     flow_p, flow_c, mask = _trunk(params, prev, curr)
     warped_p = bilinear_warp(prev.astype(F32), flow_p)
     warped_c = bilinear_warp(curr.astype(F32), flow_c)
@@ -325,13 +385,19 @@ def _up2(out: jax.Array) -> jax.Array:
 
 
 def _head2_raw(params: dict, prev: jax.Array, curr: jax.Array, dtype=F32,
-               fast: bool = False):
+               fast: bool = False, ft: bool = False):
     """Two-stage trunk: frame pair -> refined head output
     [B, 5, H/4, W/4] (flows in 1/4-res pixel units + mask logit) plus the
     coarse stage-1 output [B, 5, H/8, W/8] for auxiliary supervision.
 
     ``fast``: route the full-res encoder conv through the Pallas kernel
     (inference, B == 1 — see _trunk_raw).
+
+    ``ft`` (fast-consistent training): the stage-2 coarse warp runs the
+    differentiable replica of the INFERENCE coarse warp (4-px lattice,
+    straight-through integer flows, clamp +-4) instead of the smooth
+    per-pixel bilinear warp — the residual head then trains on the same
+    blocky coarse warps it refines in production.
     """
     x = jnp.concatenate([prev, curr], axis=1).astype(F32)
     if fast and x.shape[0] == 1:
@@ -372,6 +438,12 @@ def _head2_raw(params: dict, prev: jax.Array, curr: jax.Array, dtype=F32,
                   integer_offsets=True)
         p4w = warp_blend_matmul(p4[0], p4[0], fp4, **kw)[None]
         c4w = warp_blend_matmul(c4[0], c4[0], fc4, **kw)[None]
+    elif ft:
+        # differentiable replica of the fast branch above: same 4-px
+        # lattice sample, straight-through round, the warp's +-4 clamp
+        lat0 = out0_4[:, :, 2::4, 2::4]
+        p4w = bilinear_warp(p4, _block_flow(lat0[:, 0:2], 4.0, 4))
+        c4w = bilinear_warp(c4, _block_flow(lat0[:, 2:4], 4.0, 4))
     else:
         p4w = bilinear_warp(p4, out0_4[:, 0:2])
         c4w = bilinear_warp(c4, out0_4[:, 2:4])
@@ -385,20 +457,30 @@ def _head2_raw(params: dict, prev: jax.Array, curr: jax.Array, dtype=F32,
 
 
 def forward2(params: dict, prev: jax.Array, curr: jax.Array,
-             t: float = 0.5, with_aux: bool = False):
-    """v2 training path: predict the frame at time t (H, W divisible by 8).
+             t: float = 0.5, with_aux: bool = False, ft: bool = False):
+    """v2 training path: predict the frame at time t (H, W divisible by 8;
+    by 16 with ``ft``).
 
     ``with_aux``: also return the coarse stage-1 prediction at 1/8
-    resolution (per-stage supervision, RIFE-style)."""
-    out1, out0 = _head2_raw(params, prev, curr)
-    b, _, hq, wq = out1.shape
-    full = jax.image.resize(out1, (b, 5, hq * SCALE, wq * SCALE), "bilinear")
-    flow_p = full[:, 0:2] * F32(SCALE)
-    flow_c = full[:, 2:4] * F32(SCALE)
-    mask = jax.nn.sigmoid(full[:, 4:5])
-    warped_p = bilinear_warp(prev.astype(F32), flow_p)
-    warped_c = bilinear_warp(curr.astype(F32), flow_c)
-    pred = _fuse(warped_p, warped_c, mask, t)
+    resolution (per-stage supervision, RIFE-style).
+
+    ``ft``: fast-consistent training — the stage-2 coarse warp AND the
+    final tail run differentiable replicas of the inference path (see
+    :func:`_ft_tail`); the aux stage-1 supervision stays smooth (its job
+    is keeping the coarse flow meaningful, not matching inference)."""
+    out1, out0 = _head2_raw(params, prev, curr, ft=ft)
+    if ft:
+        pred = _ft_tail(out1, prev, curr, t)
+    else:
+        b, _, hq, wq = out1.shape
+        full = jax.image.resize(out1, (b, 5, hq * SCALE, wq * SCALE),
+                                "bilinear")
+        flow_p = full[:, 0:2] * F32(SCALE)
+        flow_c = full[:, 2:4] * F32(SCALE)
+        mask = jax.nn.sigmoid(full[:, 4:5])
+        warped_p = bilinear_warp(prev.astype(F32), flow_p)
+        warped_c = bilinear_warp(curr.astype(F32), flow_c)
+        pred = _fuse(warped_p, warped_c, mask, t)
     if not with_aux:
         return pred
     # coarse prediction AT 1/8 scale: warp the 1/8 frames by the coarse
@@ -412,11 +494,11 @@ def forward2(params: dict, prev: jax.Array, curr: jax.Array,
 
 
 def loss_fn2(params, prev, curr, target, t: float = 0.5,
-             aux_weight: float = 0.3):
+             aux_weight: float = 0.3, ft: bool = False):
     """L1 on the refined prediction + weighted L1 on the coarse stage at
     1/8 scale (per-stage supervision keeps stage 1 from collapsing to
     zero flow and letting stage 2 do all the work beyond its reach)."""
-    pred, pred8 = forward2(params, prev, curr, t, with_aux=True)
+    pred, pred8 = forward2(params, prev, curr, t, with_aux=True, ft=ft)
     t8 = _down2_mean(_down2_mean(_down2_mean(target.astype(F32))))
     return (jnp.mean(jnp.abs(pred - target.astype(F32)))
             + F32(aux_weight) * jnp.mean(jnp.abs(pred8 - t8)))
@@ -469,8 +551,8 @@ def load_params(path: str) -> dict:
     return load_pytree(path, like)
 
 
-def loss_fn(params, prev, curr, target, t: float = 0.5):
-    pred = forward(params, prev, curr, t)
+def loss_fn(params, prev, curr, target, t: float = 0.5, ft: bool = False):
+    pred = forward(params, prev, curr, t, ft=ft)
     return jnp.mean(jnp.abs(pred - target.astype(F32)))
 
 
@@ -497,6 +579,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     t: float = 0.5,
     arch: str = "v1",
+    ft: bool = False,
 ) -> tuple[Callable, Callable, optax.GradientTransformation]:
     """Returns (init_state, train_step, optimizer).
 
@@ -506,11 +589,20 @@ def make_train_step(
 
     ``arch``: "v1" (single-stage 1/4-res flow) or "v2" (two-stage
     coarse-to-fine; adds the 1/8-scale auxiliary supervision term).
+
+    ``ft``: fast-consistent training — the loss runs the differentiable
+    replica of the deployed inference tail (straight-through integer block
+    flows; see :func:`_ft_tail`).  Use to fine-tune a smooth-trained
+    checkpoint toward what interpolate_fast actually executes.
     """
     if arch not in ("v1", "v2"):
         raise ValueError(f"arch must be v1 or v2, got {arch!r}")
     v2 = arch == "v2"
-    lf = loss_fn2 if v2 else loss_fn
+    if ft:
+        lf = (functools.partial(loss_fn2, ft=True) if v2
+              else functools.partial(loss_fn, ft=True))
+    else:
+        lf = loss_fn2 if v2 else loss_fn
     opt = optax.adam(learning_rate)
 
     def init_state(key, hidden: int = HIDDEN):

@@ -85,6 +85,12 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", default=None)
     p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--ft", action="store_true",
+                   help="fast-consistent training: the loss runs the "
+                        "differentiable replica of the deployed inference "
+                        "tail (straight-through integer block flows) — "
+                        "use to fine-tune a smooth-trained checkpoint; "
+                        "crop dims must be divisible by 16")
     p.add_argument("--skip-cuts", type=float, default=0.0, metavar="T",
                    help="drop triplets whose outer frames differ by mean "
                         "|d| > T (0..1 units): shot-change triplets have "
@@ -101,6 +107,8 @@ def main(argv=None) -> int:
         return 1
     crop_h, crop_w = int(m.group(1)), int(m.group(2))
     mult = 8 if args.arch == "v2" else 4  # v2 adds the 1/8 coarse stage
+    if args.ft:
+        mult = 16  # the ft tail's block lattice (grid = 16)
     if crop_h % mult or crop_w % mult:
         log.error(f"crop dims must be divisible by {mult}")
         return 1
@@ -123,7 +131,8 @@ def main(argv=None) -> int:
             args.dp, args.tp), axis_names=("dp", "tp"))
 
     init_state, train_step, _ = rife.make_train_step(args.lr, mesh=mesh,
-                                                     arch=args.arch)
+                                                     arch=args.arch,
+                                                     ft=args.ft)
     params, opt_state = init_state(jax.random.PRNGKey(0), args.hidden)
     if args.resume:
         params = load_pytree(args.resume, params)
