@@ -139,6 +139,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "first and keeps it only when it sustains 1.5x the "
                         "target input rate, else falls back to the latency "
                         "defaults")
+    p.add_argument("--preview", default=None, metavar="[HOST:]PORT",
+                   help="serve a live preview of the output at "
+                        "http://HOST:PORT/ (any browser is the display — "
+                        "the reference's SDL window, src/scaler.cpp:538-609,"
+                        " re-hosted for a headless TPU node).  Default "
+                        "host 127.0.0.1; composes with any --output")
     p.add_argument("--temporal-mv", action="store_true",
                    help="seed each pair's motion search with the previous "
                         "pair's MV field (codec-style temporal predictor): "
@@ -260,6 +266,18 @@ def main(argv: Optional[list[str]] = None) -> int:
                                 if cfg.enable_interpolation else 1)
     sink = open_sink(args.output, cfg.output_width, cfg.output_height,
                      fps=float(out_fps), y4m_chroma=args.y4m_chroma)
+    if args.preview:
+        from tpufg.io.preview import PreviewSink, TeeSink, parse_preview_spec
+        try:
+            host, port = parse_preview_spec(args.preview)
+            preview = PreviewSink(port, host)
+        except (ValueError, OSError) as e:
+            log.error(f"--preview: {e}")
+            sink.close()
+            source.close()
+            return 1
+        log.info(f"live preview at {preview.url}")
+        sink = TeeSink(sink, preview)
     if sink.needs_host:
         # serialize frames on a worker thread so egress (pixel conversion
         # + file IO) overlaps the next step's device compute — the sink

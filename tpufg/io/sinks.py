@@ -225,8 +225,11 @@ class AsyncSink(FrameSink):
         self._check()
 
 
-def encode_png(rgba: np.ndarray) -> bytes:
-    """Minimal RGBA8 PNG encoder (pure python: zlib + struct)."""
+def encode_png(rgba: np.ndarray, level: int = 6) -> bytes:
+    """Minimal RGBA8 PNG encoder (pure python: zlib + struct).
+
+    ``level``: zlib effort — 6 for files, 1 for latency-bound consumers
+    (the live preview encodes on the viewer's request thread)."""
     h, w = rgba.shape[:2]
 
     def chunk(tag: bytes, data: bytes) -> bytes:
@@ -237,7 +240,7 @@ def encode_png(rgba: np.ndarray) -> bytes:
     raw = b"".join(b"\x00" + rgba[i].tobytes() for i in range(h))
     return (b"\x89PNG\r\n\x1a\n"
             + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IDAT", zlib.compress(raw, level))
             + chunk(b"IEND", b""))
 
 
