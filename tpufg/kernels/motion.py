@@ -129,13 +129,19 @@ def _motion_kernel(prev_ref, curr_ref, out_ref, prev_s, curr_s, sem,
                             else:
                                 cost = cost + dist[ky:ky + TH, kx:kx + TW]
                 else:
-                    # separable box-sum: same value to rounding, 2b adds
-                    colsum = dist[0:ext_r, 0:TW]
-                    for kx in range(1, b):
-                        colsum = colsum + dist[0:ext_r, kx:kx + TW]
-                    cost = colsum[0:TH, :]
+                    # separable box-sum, rows-then-x: same value to
+                    # rounding, 2b adds.  The y window first (sublane
+                    # shifts — cheap), then the x window on the row-sum:
+                    # the lane-unaligned shifted adds (the r4 profiler's
+                    # dominant sites-kernel cost) run on the REDUCED
+                    # array.  Association matches motion_search_sites and
+                    # motion_search_lattice (bitwise family).
+                    rowsum = dist[0:TH, :]
                     for ky in range(1, b):
-                        cost = cost + colsum[ky:ky + TH, :]
+                        rowsum = rowsum + dist[ky:ky + TH, :]
+                    cost = rowsum[:, 0:TW]
+                    for kx in range(1, b):
+                        cost = cost + rowsum[:, kx:kx + TW]
                 upd = cost < best_cost  # strict <: first found wins
                 best_cost = jnp.where(upd, cost, best_cost)
                 best_dx = jnp.where(upd, dxf, best_dx)
@@ -220,16 +226,20 @@ def _sites_kernel(prev_ref, curr_ref, out_ref, prev_s, curr_s, sem,
                 for c in range(1, n_ch):
                     acc = acc + dd[c * rows8:(c + 1) * rows8]
                 dist = jnp.sqrt(acc) * mask
-                # separable box-sum, same association as the tiled
-                # kernel's exact_box=False path: x first (sequential),
-                # then the b block rows in order — each a static
-                # contiguous [8, TW] slab in the u-major stack
-                colsum = dist[:, 0:TW]
-                for kx in range(1, b):
-                    colsum = colsum + dist[:, kx:kx + TW]
-                cost = colsum[0:8, :]
+                # separable box-sum, rows-then-x (same association as the
+                # tiled kernel's exact_box=False path): the b block rows
+                # first — each a static ALIGNED [8, ext] u-slab in the
+                # u-major stack — then the x window on the [8, ext]
+                # row-sum.  The r4 ablation profiler attributed ~20 of
+                # 35 ms to the old x-first box-sum's lane-unaligned
+                # shifted adds over all 64 stacked rows; rows-first runs
+                # that phase on 8 rows — an 8x cut of the dominant cost
+                rowsum = dist[0:8, :]
                 for u in range(1, b):
-                    cost = cost + colsum[u * 8:u * 8 + 8, :]
+                    rowsum = rowsum + dist[u * 8:u * 8 + 8, :]
+                cost = rowsum[:, 0:TW]
+                for kx in range(1, b):
+                    cost = cost + rowsum[:, kx:kx + TW]
                 upd = cost < best_cost  # strict <: first found wins
                 best_cost = jnp.where(upd, cost, best_cost)
                 best_dx = jnp.where(upd, dxf, best_dx)

@@ -103,7 +103,7 @@ def motion_search_lattice(
     reference's ~70k reads/px become ~(b+2r)^2 reads per cell).
 
     Same conventions as motion_search_tiled(exact_box=False): Euclidean
-    per-pixel distance, separable col-then-row block sum in the same f32
+    per-pixel distance, separable rows-then-x block sum in the same f32
     accumulation order, strict-< argmin over the dy-outer/dx-inner scan —
     output is bitwise the subsampled tiled-kernel field.  Block windows at
     these centers never leave the image (blockStart = g/2 - b/2 >= 0), so
@@ -158,14 +158,14 @@ def _lattice_impl(prev, curr, g, b, r, bias, return_cost):
                 d = curr_blk[ci] - shifted[ci]
                 acc = acc + d * d
             dist = jnp.sqrt(acc)                      # [Hb, b, Wb, b]
-            # separable box-sum, col-then-row, sequential adds: bitwise
+            # separable box-sum, rows-then-x, sequential adds: bitwise
             # the tiled kernel's exact_box=False accumulation order
-            colsum = dist[..., 0]
-            for kx in range(1, b):
-                colsum = colsum + dist[..., kx]       # [Hb, b, Wb]
-            cost = colsum[:, 0, :]
+            rowsum = dist[:, 0]
             for ky in range(1, b):
-                cost = cost + colsum[:, ky, :]        # [Hb, Wb]
+                rowsum = rowsum + dist[:, ky]         # [Hb, Wb, b]
+            cost = rowsum[..., 0]
+            for kx in range(1, b):
+                cost = cost + rowsum[..., kx]         # [Hb, Wb]
             if bias:
                 # small-magnitude preference (codec zero/predictor bias):
                 # on near-flat cost surfaces — the aperture problem, where
