@@ -162,29 +162,38 @@ def _st_round(x: jax.Array) -> jax.Array:
     return x + jax.lax.stop_gradient(jnp.round(x) - x)
 
 
-def _block_flow(lat: jax.Array, clip_r: float, block: int) -> jax.Array:
-    """Lattice flow [B, 2, nh, nw] -> per-pixel constant-per-block integer
-    flow [B, 2, nh*block, nw*block]: straight-through round + the warp
-    kernel's clamp (warp_matmul.py clips MV to +-search_radius), then
-    nearest upsampling (each block is one rigid shift, exactly the one-hot
-    block warp's granularity)."""
-    f = jnp.clip(_st_round(lat), -clip_r, clip_r)
+def _block_flow(lat: jax.Array, clip_r: float, block: int,
+                integer: bool = True) -> jax.Array:
+    """Lattice flow [B, 2, nh, nw] -> per-pixel constant-per-block flow
+    [B, 2, nh*block, nw*block]: straight-through round (``integer``; the
+    fractional tail keeps the real-valued flow), the warp kernel's clamp
+    (warp_matmul.py clips MV to +-search_radius), then nearest upsampling
+    (each block is one rigid shift, exactly the one-hot block warp's
+    granularity)."""
+    f = jnp.clip(_st_round(lat) if integer else lat, -clip_r, clip_r)
     return jnp.repeat(jnp.repeat(f, block, axis=2), block, axis=3)
 
 
 def _ft_tail(out: jax.Array, prev: jax.Array, curr: jax.Array, t: float,
-             grid: int = 16, max_flow: int = 8) -> jax.Array:
+             grid: int = 16, max_flow: int = 8,
+             integer_flow: bool = True) -> jax.Array:
     """Differentiable replica of the inference tail (:func:`_fast_tail`)
     for fast-consistent training: the SAME closed-form lattice sample,
-    straight-through integer rounding in place of round(), and a
-    constant-per-block backward warp in place of the one-hot block warp.
+    straight-through integer rounding in place of round() (``integer_flow``
+    — v1's deployed tail; v2 deploys fractional, see interpolate_fast2),
+    and a constant-per-block backward warp in place of the one-hot block
+    warp.
 
     With integer flows the bilinear gather degenerates to an exact shift
     with clamp-to-edge taps — semantically identical to the single-mode
-    one-hot warp (which edge-pads and applies no OOB blank), so forward
-    values match inference to f32 rounding (pinned in tests/test_rife.py).
-    Training on this tail removes the train/inference distribution shift
-    the r3/r4 evals measured as the fast path's ~0.4-0.9 dB loss.
+    one-hot warp (which edge-pads and applies no OOB blank); with
+    fractional flows both paths compute the same 2x2-tap lerp (the warp's
+    edge-padded taps equal the gather's clamp-then-lerp at every border
+    case, since all clamped taps read the same edge pixel) — so forward
+    values match inference to f32 rounding either way (pinned in
+    tests/test_rife.py).  Training on this tail removes the
+    train/inference distribution shift the r3/r4 evals measured as the
+    fast path's ~0.4-0.9 dB loss.
 
     ``out``: raw head output [B, 5, H/4, W/4]; ``prev``/``curr``:
     [B, C, H, W] with H, W divisible by ``grid``.
@@ -197,8 +206,10 @@ def _ft_tail(out: jax.Array, prev: jax.Array, curr: jax.Array, t: float,
           + out[:, :, 2::4][:, :, :nh] * F32(0.625))
     lat = (ry[:, :, :, 1::4][:, :, :, :nw] * F32(0.375)
            + ry[:, :, :, 2::4][:, :, :, :nw] * F32(0.625))
-    flow_p = _block_flow(lat[:, 0:2] * F32(SCALE), float(max_flow), grid)
-    flow_c = _block_flow(lat[:, 2:4] * F32(SCALE), float(max_flow), grid)
+    flow_p = _block_flow(lat[:, 0:2] * F32(SCALE), float(max_flow), grid,
+                         integer_flow)
+    flow_c = _block_flow(lat[:, 2:4] * F32(SCALE), float(max_flow), grid,
+                         integer_flow)
     mask = jax.nn.sigmoid(jax.image.resize(
         out[:, 4:5], (b, 1, hq * SCALE, wq * SCALE), "bilinear"))
     warped_p = bilinear_warp(prev.astype(F32), flow_p)
@@ -240,7 +251,7 @@ def forward(params: dict, prev: jax.Array, curr: jax.Array,
 def interpolate_fast(params: dict, prev: jax.Array, curr: jax.Array,
                      t: float = 0.5, grid: int = 16,
                      max_flow: int = 8, dtype=jnp.bfloat16,
-                     integer_flow: bool = True) -> jax.Array:
+                     integer_flow: bool | None = None) -> jax.Array:
     """Inference path: predicted flow block-subsampled through the
     production one-hot warp (tpufg.kernels.warp_matmul) — no gathers.
 
@@ -257,18 +268,27 @@ def interpolate_fast(params: dict, prev: jax.Array, curr: jax.Array,
     (66.8 output fps — config 5 meets the 60 fps target on the learned
     path itself; r2 was 47.9 ms / 42 fps).
 
-    ``integer_flow`` rounds the subsampled flow to integer pixels: the
-    warp takes the single-band integer-offset path in the exact
+    ``integer_flow`` rounds the subsampled flow to integer pixels; the
+    warp then takes the single-band integer-offset path in the exact
     integer-code domain (bf16 bitwise == f32; kernels/warp_matmul.py
-    u8_exact).  Measured speed-neutral (the warp is memory-bound; the
-    skipped lerp was hidden) but BETTER on the natural corpus —
-    +0.27 dB / +0.011 SSIM over fractional: on top of the 16-px block
-    granularity, the fractional lerp only softens texture, it cannot add
-    real sub-pixel alignment.
+    u8_exact).  The default (None) resolves PER ARCHITECTURE, both ways
+    measured on the rich natural corpus (round 4):
+
+    - v1 -> True: v1's converged flows are sub-pixel (p50 0.55 px, max
+      ~1.1 px — the single-stage head plateaus near a smart crossfade),
+      so the fractional lerp only softens texture; integer measured
+      +0.27 dB / +0.011 SSIM over fractional.
+    - v2 -> False: the two-stage head learns real fractional flows (p95
+      ~1.7 px), and rounding them measured -2.44 dB / -0.028 SSIM — the
+      whole v2 fast-path regression; fractional recovers it exactly (the
+      16-px block subsample itself costs +0.01 dB).  The fractional warp
+      is speed-neutral (memory-bound; the lerp is hidden).
     """
     if is_v2(params):
         return interpolate_fast2(params, prev, curr, t, grid, max_flow,
                                  dtype, integer_flow)
+    if integer_flow is None:
+        integer_flow = True
     if grid != 4 * SCALE:
         raise ValueError(f"interpolate_fast expects grid == {4 * SCALE}")
     out = _trunk_raw(params, prev[None], curr[None], dtype=dtype,
@@ -470,7 +490,8 @@ def forward2(params: dict, prev: jax.Array, curr: jax.Array,
     is keeping the coarse flow meaningful, not matching inference)."""
     out1, out0 = _head2_raw(params, prev, curr, ft=ft)
     if ft:
-        pred = _ft_tail(out1, prev, curr, t)
+        # fractional replica: v2's deployed tail keeps real-valued flows
+        pred = _ft_tail(out1, prev, curr, t, integer_flow=False)
     else:
         b, _, hq, wq = out1.shape
         full = jax.image.resize(out1, (b, 5, hq * SCALE, wq * SCALE),
@@ -507,10 +528,15 @@ def loss_fn2(params, prev, curr, target, t: float = 0.5,
 def interpolate_fast2(params: dict, prev: jax.Array, curr: jax.Array,
                       t: float = 0.5, grid: int = 16,
                       max_flow: int = 8, dtype=jnp.bfloat16,
-                      integer_flow: bool = True) -> jax.Array:
+                      integer_flow: bool | None = None) -> jax.Array:
     """v2 inference: the two-stage trunk's refined head output feeds the
     SAME lattice-sample + one-hot-warp tail as v1 (the refined output has
-    v1's exact shape/semantics: [5, H/4, W/4], flows in 1/4-res units)."""
+    v1's exact shape/semantics: [5, H/4, W/4], flows in 1/4-res units) —
+    but with FRACTIONAL block flows by default: v2 learns real sub-pixel
+    flows, and rounding them measured -2.44 dB on the rich corpus (see
+    interpolate_fast's integer_flow docs for both measurements)."""
+    if integer_flow is None:
+        integer_flow = False
     out1, _ = _head2_raw(params, prev[None], curr[None], dtype=dtype,
                          fast=True)
     return _fast_tail(out1[0], prev, curr, t, grid, max_flow, dtype,
