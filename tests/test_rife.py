@@ -256,3 +256,30 @@ class TestTrainCLI:
         assert os.path.exists(ckpt)
         loaded = rife.load_params(ckpt)
         assert rife.is_v2(loaded)
+
+    def test_train_main_multi_input_interleave_cosine(self, rng, tmp_path):
+        """Multiple INPUTs round-robin batch-by-batch (each source visited
+        throughout the run, not sequentially) with --cosine lr; steps past
+        one source's length force per-source epoch re-opens."""
+        from tpufg.models import train
+        paths = []
+        for i in range(2):
+            raw = str(tmp_path / f"t{i}.raw")
+            frames = rng.integers(0, 256, (8, 48, 64, 4), dtype=np.uint8)
+            open(raw, "wb").write(frames.tobytes())
+            paths.append(raw)
+        ckpt = str(tmp_path / "h.npz")
+        # 8 frames -> 6 triplets -> 3 batches/epoch/source; 14 steps needs
+        # >2 epochs of each source interleaved
+        rc = train.main(paths + ["--input-width", "64", "--input-height",
+                         "48", "--arch", "v2", "--steps", "14", "--batch",
+                         "2", "--crop", "32x48", "--hidden", "16",
+                         "--cosine", "--checkpoint", ckpt])
+        assert rc == 0
+        import os
+        assert os.path.exists(ckpt)
+
+    def test_train_main_bad_first_input_fails_fast(self, tmp_path):
+        from tpufg.models import train
+        rc = train.main([str(tmp_path / "missing.y4m"), "--steps", "2"])
+        assert rc == 1

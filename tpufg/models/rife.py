@@ -601,7 +601,7 @@ def param_shardings(mesh: Mesh) -> dict:
 
 
 def make_train_step(
-    learning_rate: float = 1e-4,
+    learning_rate=1e-4,  # float or optax schedule (cosine via the trainer)
     mesh: Optional[Mesh] = None,
     t: float = 0.5,
     arch: str = "v1",

@@ -6,11 +6,15 @@ frame-interpolation training scheme.  The reference has no training of any
 kind (no model code — SURVEY.md §0); this is the config-5 path.
 
 Usage:
-    python -m tpufg.models.train INPUT [--steps N] [--batch B]
+    python -m tpufg.models.train INPUT [INPUT ...] [--steps N] [--batch B]
         [--crop HxW] [--lr LR] [--hidden H] [--checkpoint out.npz]
         [--resume ckpt.npz] [--dp N --tp N]
 
 INPUT accepts the same specs as the engine CLI (synthetic:WxH, *.y4m, raw).
+Multiple inputs INTERLEAVE batch-by-batch (round-robin): training visits
+every source throughout the run instead of fine-tuning through them
+sequentially (which forgets earlier sources — the round-4 v2 campaign
+trained 4 corpus seeds back-to-back and the last seed dominated).
 """
 
 from __future__ import annotations
@@ -66,10 +70,60 @@ def _triplets(source, crop_h, crop_w, batch, seed=0, skip_cuts=0.0):
                 batch_buf = []
 
 
+def _interleaved(specs, open_fn, crop_h, crop_w, batch, skip_cuts, log):
+    """Round-robin triplet batches across sources.
+
+    Each source runs its own epoch counter (re-opened when exhausted —
+    one-shot sources like the native prefetch ring cannot re-iterate) and
+    fresh crop positions per epoch.  A source whose re-opened epoch yields
+    no batch (a consumed stream, or every triplet cut-filtered) is retired;
+    the generator ends when every source is retired.
+    """
+    n = len(specs)
+    srcs = [None] * n
+    gens = [None] * n
+    epochs = [0] * n
+    got = [0] * n           # batches produced in the current epoch
+    live = set(range(n))
+    k = -1
+    try:
+        while live:
+            k = (k + 1) % n
+            if k not in live:
+                continue
+            if gens[k] is None:
+                try:
+                    srcs[k] = open_fn(specs[k])
+                except Exception as e:  # SourceError/OSError on re-open
+                    log.warning(f"source {specs[k]!r} re-open failed: {e}")
+                    live.discard(k)
+                    continue
+                # distinct crop stream per (source, epoch)
+                gens[k] = _triplets(srcs[k], crop_h, crop_w, batch,
+                                    seed=epochs[k] * n + k,
+                                    skip_cuts=skip_cuts)
+                got[k] = 0
+            try:
+                yield next(gens[k])
+                got[k] += 1
+            except StopIteration:
+                srcs[k].close()
+                srcs[k] = gens[k] = None
+                if not got[k]:
+                    log.warning(f"source {specs[k]!r} exhausted; retiring")
+                    live.discard(k)
+                else:
+                    epochs[k] += 1
+    finally:
+        for s in srcs:      # caller stopped mid-stream (steps reached)
+            if s is not None:
+                s.close()
+
+
 def main(argv=None) -> int:
     log = get_logger()
     p = argparse.ArgumentParser(prog="tpufg-train", description=__doc__)
-    p.add_argument("input")
+    p.add_argument("input", nargs="+")
     p.add_argument("--input-width", type=int, default=0,
                    help="raw-file input width (self-describing sources "
                         "auto-detect)")
@@ -78,6 +132,10 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--crop", default="128x192")
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--cosine", action="store_true",
+                   help="cosine lr decay over --steps (peak --lr after a "
+                        "5%% linear warmup, ending at lr/20) — constant "
+                        "lr otherwise")
     p.add_argument("--hidden", type=int, default=64)
     p.add_argument("--arch", choices=["v1", "v2"], default="v1",
                    help="v1 = single-stage 1/4-res flow; v2 = two-stage "
@@ -130,7 +188,15 @@ def main(argv=None) -> int:
         mesh = Mesh(np.array(devs[:args.dp * args.tp]).reshape(
             args.dp, args.tp), axis_names=("dp", "tp"))
 
-    init_state, train_step, _ = rife.make_train_step(args.lr, mesh=mesh,
+    if args.cosine:
+        import optax
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=args.lr,
+            warmup_steps=max(1, args.steps // 20),
+            decay_steps=args.steps, end_value=args.lr / 20.0)
+    else:
+        lr = args.lr
+    init_state, train_step, _ = rife.make_train_step(lr, mesh=mesh,
                                                      arch=args.arch,
                                                      ft=args.ft)
     params, opt_state = init_state(jax.random.PRNGKey(0), args.hidden)
@@ -138,62 +204,43 @@ def main(argv=None) -> int:
         params = load_pytree(args.resume, params)
         log.info(f"resumed parameters from {args.resume}")
 
-    def open_epoch_source():
-        return open_source(args.input, args.input_width, args.input_height,
+    def open_one(spec):
+        return open_source(spec, args.input_width, args.input_height,
                            frames=max(args.steps * args.batch + 8, 64))
 
+    # fail fast on a bad spec before entering the interleave (which only
+    # warns on RE-open failures)
     try:
-        source = open_epoch_source()
+        open_one(args.input[0]).close()
     except (SourceError, OSError) as e:
         log.error(str(e))
         return 1
 
     def run():
-        step_i = 0
         t0 = time.perf_counter()
         losses = []
-        epoch = 0
-        while step_i < args.steps:
-            # one epoch, fresh crop positions (seed=epoch).  File specs
-            # re-open per epoch (one-shot sources like the native
-            # prefetch ring cannot re-iterate); a consumed stream (stdin)
-            # yields nothing on re-entry and stops cleanly below
-            if epoch > 0:
-                run.source.close()
-                try:
-                    run.source = open_epoch_source()
-                except (SourceError, OSError):
-                    break
-            got = 0
-            for prev, target, curr in _triplets(
-                    run.source, crop_h, crop_w, args.batch, seed=epoch,
-                    skip_cuts=args.skip_cuts):
-                params_, opt_state_, loss = train_step(
-                    run.params, run.opt_state, jnp.asarray(prev),
-                    jnp.asarray(curr), jnp.asarray(target))
-                run.params, run.opt_state = params_, opt_state_
-                losses.append(float(loss))
-                step_i += 1
-                got += 1
-                if step_i % args.log_every == 0:
-                    rate = step_i / (time.perf_counter() - t0)
-                    log.info(f"step {step_i}/{args.steps}  loss "
-                             f"{np.mean(losses[-args.log_every:]):.5f}  "
-                             f"({rate:.1f} steps/s)")
-                if step_i >= args.steps:
-                    break
-            epoch += 1
-            if not got:
-                log.warning("source exhausted before --steps; stopping")
-                break
+        batches = _interleaved(args.input, open_one, crop_h, crop_w,
+                               args.batch, args.skip_cuts, log)
+        for step_i, (prev, target, curr) in enumerate(batches, 1):
+            params_, opt_state_, loss = train_step(
+                run.params, run.opt_state, jnp.asarray(prev),
+                jnp.asarray(curr), jnp.asarray(target))
+            run.params, run.opt_state = params_, opt_state_
+            losses.append(float(loss))
+            if step_i % args.log_every == 0:
+                rate = step_i / (time.perf_counter() - t0)
+                log.info(f"step {step_i}/{args.steps}  loss "
+                         f"{np.mean(losses[-args.log_every:]):.5f}  "
+                         f"({rate:.1f} steps/s)")
+            if step_i >= args.steps:
+                return losses
+        log.warning("sources exhausted before --steps; stopping")
         return losses
 
     run.params, run.opt_state = params, opt_state
-    run.source = source
     ctx = mesh if mesh is not None else _nullcontext()
     with ctx:
         losses = run()
-    run.source.close()
 
     if losses:
         log.info(f"final loss {losses[-1]:.5f} (first {losses[0]:.5f})")
