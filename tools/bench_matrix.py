@@ -17,8 +17,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_config(tag, cfg_kw, n, steps_kind, model_params=None,
-               skip_alpha=True):
+def _run_config(tag, cfg_kw, n, steps_kind, model_params=None,
+                skip_alpha=True):
     import jax
     import jax.numpy as jnp
 
@@ -79,7 +79,21 @@ def run_config(tag, cfg_kw, n, steps_kind, model_params=None,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-n", type=int, default=30)
+    ap.add_argument("--model-path", default=None,
+                    help="checkpoint for config 5b (default: bundled)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated config prefixes to run "
+                         "(e.g. '3,5b'); default all")
     args = ap.parse_args()
+    only = ([s.strip() for s in args.only.split(",") if s.strip()]
+            if args.only else None)
+
+    def run_config(tag, *a, **kw):
+        if only is not None and not any(tag.startswith(p + ":")
+                                        for p in only):
+            return
+        return _run_config(tag, *a, **kw)
+
     print("| BASELINE config | ms/step | output fps/chip |")
     print("|---|---|---|")
     run_config("1: 720p→1440p Lanczos only (scale.comp)",
@@ -108,8 +122,9 @@ def main():
         import jax
 
         from tpufg.models import rife
-        ckpt = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "checkpoints", "head64.npz")
+        ckpt = args.model_path or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "checkpoints", "head64.npz")
         if os.path.exists(ckpt):
             params = rife.load_params(ckpt)
             arch = "v2" if rife.is_v2(params) else "v1"
