@@ -225,6 +225,19 @@ def _fuse(warped_p, warped_c, mask, t):
     return (warped_p * w_p + warped_c * w_c) / (w_p + w_c + F32(1e-6))
 
 
+def _smooth_tail(out: jax.Array, prev: jax.Array, curr: jax.Array,
+                 t: float) -> jax.Array:
+    """Training tail: raw head output [B, 5, h, w] -> predicted frame via
+    bilinear flow upsampling and the differentiable per-pixel gather warp
+    (same math _trunk + forward always computed, factored so the
+    supervised losses can reuse the head output they also supervise)."""
+    b, _, hq, wq = out.shape
+    full = jax.image.resize(out, (b, 5, hq * SCALE, wq * SCALE), "bilinear")
+    warped_p = bilinear_warp(prev.astype(F32), full[:, 0:2] * F32(SCALE))
+    warped_c = bilinear_warp(curr.astype(F32), full[:, 2:4] * F32(SCALE))
+    return _fuse(warped_p, warped_c, jax.nn.sigmoid(full[:, 4:5]), t)
+
+
 def forward(params: dict, prev: jax.Array, curr: jax.Array,
             t: float = 0.5, ft: bool = False) -> jax.Array:
     """Predict the frame at time t between prev and curr (training path).
@@ -240,12 +253,10 @@ def forward(params: dict, prev: jax.Array, curr: jax.Array,
     block flows (see :func:`_ft_tail`) — so the loss measures exactly what
     the deployed fast path produces.
     """
+    out = _trunk_raw(params, prev, curr)
     if ft:
-        return _ft_tail(_trunk_raw(params, prev, curr), prev, curr, t)
-    flow_p, flow_c, mask = _trunk(params, prev, curr)
-    warped_p = bilinear_warp(prev.astype(F32), flow_p)
-    warped_c = bilinear_warp(curr.astype(F32), flow_c)
-    return _fuse(warped_p, warped_c, mask, t)
+        return _ft_tail(out, prev, curr, t)
+    return _smooth_tail(out, prev, curr, t)
 
 
 def interpolate_fast(params: dict, prev: jax.Array, curr: jax.Array,
@@ -493,15 +504,7 @@ def forward2(params: dict, prev: jax.Array, curr: jax.Array,
         # fractional replica: v2's deployed tail keeps real-valued flows
         pred = _ft_tail(out1, prev, curr, t, integer_flow=False)
     else:
-        b, _, hq, wq = out1.shape
-        full = jax.image.resize(out1, (b, 5, hq * SCALE, wq * SCALE),
-                                "bilinear")
-        flow_p = full[:, 0:2] * F32(SCALE)
-        flow_c = full[:, 2:4] * F32(SCALE)
-        mask = jax.nn.sigmoid(full[:, 4:5])
-        warped_p = bilinear_warp(prev.astype(F32), flow_p)
-        warped_c = bilinear_warp(curr.astype(F32), flow_c)
-        pred = _fuse(warped_p, warped_c, mask, t)
+        pred = _smooth_tail(out1, prev, curr, t)
     if not with_aux:
         return pred
     # coarse prediction AT 1/8 scale: warp the 1/8 frames by the coarse
@@ -523,6 +526,83 @@ def loss_fn2(params, prev, curr, target, t: float = 0.5,
     t8 = _down2_mean(_down2_mean(_down2_mean(target.astype(F32))))
     return (jnp.mean(jnp.abs(pred - target.astype(F32)))
             + F32(aux_weight) * jnp.mean(jnp.abs(pred8 - t8)))
+
+
+# ---------------------------------------------------------------------------
+# Analytic supervision (round 4): the procedural corpus knows the exact
+# per-pixel flow between any two times of a shot (every layer is a closed-
+# form rigid motion — tpufg/data/corpus.py), so the trainer can supervise
+# the flow heads DIRECTLY instead of only through the photometric loss.
+# This is RIFE's privileged-teacher distillation with the renderer itself
+# as the teacher; measured motivation: photometric-only training plateaus
+# ~5 dB below the deployed tail's oracle-flow ceiling (40.8 dB on the rich
+# eval corpus — .data/diag_oracle_tail.py / docs/DESIGN.md 5b r4).
+# ---------------------------------------------------------------------------
+
+def _flow_sup_terms(out, flow_t, vp, vc):
+    """Supervision of one raw head output against analytic targets.
+
+    ``out``: [B, 5, h, w] (4 flow channels in the head's res units + mask
+    logit); ``flow_t``: [B, 4, h, w] analytic (dxp, dyp, dxc, dyc);
+    ``vp``/``vc``: [B, 1, h, w] per-side validity in {0, 1} (a side's flow
+    is only defined where the content is visible in that frame).
+
+    Returns (l_flow, l_mask): masked L1 endpoint error, and BCE on the
+    occlusion logit where exactly ONE side is valid (there the fusion
+    answer is known: _fuse weights prev by sigmoid(logit), so the target
+    is 1 where only prev sees the content, 0 where only curr does;
+    where both or neither see it the logit is left to the photometric
+    loss)."""
+    l_flow = (jnp.sum(jnp.abs(out[:, 0:2] - flow_t[:, 0:2]) * vp)
+              / (2.0 * jnp.sum(vp) + 1.0)
+              + jnp.sum(jnp.abs(out[:, 2:4] - flow_t[:, 2:4]) * vc)
+              / (2.0 * jnp.sum(vc) + 1.0))
+    xor = vp * (1.0 - vc) + vc * (1.0 - vp)
+    tgt = vp * (1.0 - vc)
+    logit = out[:, 4:5]
+    bce = (jnp.maximum(logit, 0.0) - logit * tgt
+           + jnp.log1p(jnp.exp(-jnp.abs(logit))))
+    l_mask = jnp.sum(bce * xor) / (jnp.sum(xor) + 1.0)
+    return l_flow, l_mask
+
+
+def loss_fn_sup(params, prev, curr, target, sup, t: float = 0.5,
+                flow_weight: float = 0.1, mask_weight: float = 0.02):
+    """v1 photometric + analytic-flow supervision.  ``sup``: dict with
+    flow4 [B,4,H/4,W/4] (quarter-res units), vp4/vc4 [B,1,H/4,W/4]
+    (tpufg.data.corpus.synthetic_triplets layout)."""
+    out = _trunk_raw(params, prev, curr)
+    pred = _smooth_tail(out, prev, curr, t)
+    photo = jnp.mean(jnp.abs(pred - target.astype(F32)))
+    l_flow, l_mask = _flow_sup_terms(out, sup["flow4"], sup["vp4"],
+                                     sup["vc4"])
+    return (photo + F32(flow_weight) * l_flow
+            + F32(mask_weight) * l_mask), (photo, l_flow)
+
+
+def loss_fn2_sup(params, prev, curr, target, sup, t: float = 0.5,
+                 aux_weight: float = 0.3, flow_weight: float = 0.1,
+                 mask_weight: float = 0.02):
+    """v2 photometric (+1/8 aux) + analytic-flow supervision of BOTH
+    stages: the refined head against the quarter-res targets and the
+    coarse stage against the 1/8 targets (each in its own res units —
+    sup keys flow4/vp4/vc4 and flow8/vp8/vc8)."""
+    out1, out0 = _head2_raw(params, prev, curr)
+    pred = _smooth_tail(out1, prev, curr, t)
+    p8 = _down2_mean(_down2_mean(_down2_mean(prev.astype(F32))))
+    c8 = _down2_mean(_down2_mean(_down2_mean(curr.astype(F32))))
+    pred8 = _fuse(bilinear_warp(p8, out0[:, 0:2]),
+                  bilinear_warp(c8, out0[:, 2:4]),
+                  jax.nn.sigmoid(out0[:, 4:5]), t)
+    t8 = _down2_mean(_down2_mean(_down2_mean(target.astype(F32))))
+    photo = (jnp.mean(jnp.abs(pred - target.astype(F32)))
+             + F32(aux_weight) * jnp.mean(jnp.abs(pred8 - t8)))
+    f1, m1 = _flow_sup_terms(out1, sup["flow4"], sup["vp4"], sup["vc4"])
+    f0, m0 = _flow_sup_terms(out0, sup["flow8"], sup["vp8"], sup["vc8"])
+    l_flow = f1 + F32(aux_weight) * f0
+    l_mask = m1 + F32(aux_weight) * m0
+    return (photo + F32(flow_weight) * l_flow
+            + F32(mask_weight) * l_mask), (photo, l_flow)
 
 
 def interpolate_fast2(params: dict, prev: jax.Array, curr: jax.Array,
@@ -606,6 +686,8 @@ def make_train_step(
     t: float = 0.5,
     arch: str = "v1",
     ft: bool = False,
+    flow_weight: float = 0.0,
+    mask_weight: Optional[float] = None,
 ) -> tuple[Callable, Callable, optax.GradientTransformation]:
     """Returns (init_state, train_step, optimizer).
 
@@ -620,11 +702,25 @@ def make_train_step(
     replica of the deployed inference tail (straight-through integer block
     flows; see :func:`_ft_tail`).  Use to fine-tune a smooth-trained
     checkpoint toward what interpolate_fast actually executes.
+
+    ``flow_weight`` > 0: analytic-flow supervision (the procedural-corpus
+    teacher; requires the synthetic trainer feed).  The step signature
+    gains a trailing ``sup`` dict (see loss_fn2_sup) and the returned loss
+    becomes (total, photo, flow).  ``mask_weight`` defaults to
+    flow_weight / 5.  Mutually exclusive with ``ft``.
     """
     if arch not in ("v1", "v2"):
         raise ValueError(f"arch must be v1 or v2, got {arch!r}")
     v2 = arch == "v2"
-    if ft:
+    sup = flow_weight > 0.0
+    if sup and ft:
+        raise ValueError("flow supervision and --ft are mutually exclusive "
+                         "(supervision trains the smooth tail)")
+    if sup:
+        mw = flow_weight / 5.0 if mask_weight is None else mask_weight
+        lf = functools.partial(loss_fn2_sup if v2 else loss_fn_sup,
+                               flow_weight=flow_weight, mask_weight=mw)
+    elif ft:
         lf = (functools.partial(loss_fn2, ft=True) if v2
               else functools.partial(loss_fn, ft=True))
     else:
@@ -639,15 +735,26 @@ def make_train_step(
                 lambda x, s: jax.device_put(x, s), params, shardings)
         return params, opt.init(params)
 
+    def _constrain(x):
+        if mesh is None:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1)))))
+
     def _step(params, opt_state, prev, curr, target):
-        if mesh is not None:
-            data_sh = NamedSharding(mesh, P("dp", None, None, None))
-            prev = jax.lax.with_sharding_constraint(prev, data_sh)
-            curr = jax.lax.with_sharding_constraint(curr, data_sh)
-            target = jax.lax.with_sharding_constraint(target, data_sh)
+        prev, curr, target = map(_constrain, (prev, curr, target))
         loss, grads = jax.value_and_grad(lf)(params, prev, curr, target, t)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    return init_state, jax.jit(_step), opt
+    def _step_sup(params, opt_state, prev, curr, target, sup_batch):
+        prev, curr, target = map(_constrain, (prev, curr, target))
+        sup_batch = jax.tree_util.tree_map(_constrain, sup_batch)
+        (loss, (photo, flow)), grads = jax.value_and_grad(lf, has_aux=True)(
+            params, prev, curr, target, sup_batch, t)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, (loss, photo, flow)
+
+    return init_state, jax.jit(_step_sup if sup else _step), opt

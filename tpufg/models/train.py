@@ -15,6 +15,14 @@ Multiple inputs INTERLEAVE batch-by-batch (round-robin): training visits
 every source throughout the run instead of fine-tuning through them
 sequentially (which forgets earlier sources — the round-4 v2 campaign
 trained 4 corpus seeds back-to-back and the last seed dominated).
+
+INPUT ``synth[:SEED]`` trains on the infinite procedural-scene generator
+(tpufg.data.corpus.synthetic_triplets): a FRESH randomly-seeded scene per
+triplet — nothing to memorize (any fixed file set IS memorized: measured
+-4 dB held-out at equal train loss, docs/DESIGN.md 5b) — and, with
+``--flow-weight`` > 0, exact analytic flow/occlusion supervision from the
+renderer (the privileged teacher).  A background thread prefetches
+batches so host-side rendering overlaps the device step.
 """
 
 from __future__ import annotations
@@ -120,6 +128,30 @@ def _interleaved(specs, open_fn, crop_h, crop_w, batch, skip_cuts, log):
                 s.close()
 
 
+def _prefetch(gen, depth=3):
+    """Run a generator in a daemon thread, ``depth`` batches ahead (host
+    rendering overlaps the device step; the queue bounds memory)."""
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=depth)
+    stop = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+        finally:
+            q.put(stop)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        yield item
+
+
 def main(argv=None) -> int:
     log = get_logger()
     p = argparse.ArgumentParser(prog="tpufg-train", description=__doc__)
@@ -153,6 +185,13 @@ def main(argv=None) -> int:
                    help="drop triplets whose outer frames differ by mean "
                         "|d| > T (0..1 units): shot-change triplets have "
                         "no motion ground truth (0 = keep all)")
+    p.add_argument("--flow-weight", type=float, default=0.0,
+                   help="analytic flow-supervision weight (synth input "
+                        "only — the procedural renderer is the teacher; "
+                        "0 = photometric-only)")
+    p.add_argument("--scene-size", default="384x640", metavar="HxW",
+                   help="synth input: full scene geometry the crops are "
+                        "cut from (matches the eval corpus scale)")
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel mesh axis size")
     p.add_argument("--tp", type=int, default=1,
@@ -170,6 +209,20 @@ def main(argv=None) -> int:
     if crop_h % mult or crop_w % mult:
         log.error(f"crop dims must be divisible by {mult}")
         return 1
+
+    synth = re.fullmatch(r"synth(?::(\d+))?", args.input[0])
+    if synth and len(args.input) > 1:
+        log.error("synth input cannot be mixed with file sources")
+        return 1
+    if args.flow_weight > 0 and not synth:
+        log.error("--flow-weight needs the synth input (analytic flow "
+                  "targets come from the procedural renderer)")
+        return 1
+    ms = re.fullmatch(r"(\d+)x(\d+)", args.scene_size)
+    if not ms:
+        log.error(f"bad --scene-size {args.scene_size!r} (HxW)")
+        return 1
+    scene_h, scene_w = int(ms.group(1)), int(ms.group(2))
 
     import jax
     import jax.numpy as jnp
@@ -196,42 +249,65 @@ def main(argv=None) -> int:
             decay_steps=args.steps, end_value=args.lr / 20.0)
     else:
         lr = args.lr
-    init_state, train_step, _ = rife.make_train_step(lr, mesh=mesh,
-                                                     arch=args.arch,
-                                                     ft=args.ft)
+    supervised = args.flow_weight > 0
+    init_state, train_step, _ = rife.make_train_step(
+        lr, mesh=mesh, arch=args.arch, ft=args.ft,
+        flow_weight=args.flow_weight)
     params, opt_state = init_state(jax.random.PRNGKey(0), args.hidden)
     if args.resume:
         params = load_pytree(args.resume, params)
         log.info(f"resumed parameters from {args.resume}")
 
-    def open_one(spec):
-        return open_source(spec, args.input_width, args.input_height,
-                           frames=max(args.steps * args.batch + 8, 64))
+    if synth:
+        from tpufg.data.corpus import synthetic_triplets
+        gen = synthetic_triplets(
+            crop_h, crop_w, args.batch,
+            seed=int(synth.group(1)) if synth.group(1) else 0,
+            scene_w=scene_w, scene_h=scene_h, supervise=supervised)
+        batches = _prefetch(gen)
+    else:
+        def open_one(spec):
+            return open_source(spec, args.input_width, args.input_height,
+                               frames=max(args.steps * args.batch + 8, 64))
 
-    # fail fast on a bad spec before entering the interleave (which only
-    # warns on RE-open failures)
-    try:
-        open_one(args.input[0]).close()
-    except (SourceError, OSError) as e:
-        log.error(str(e))
-        return 1
+        # fail fast on a bad spec before entering the interleave (which
+        # only warns on RE-open failures)
+        try:
+            open_one(args.input[0]).close()
+        except (SourceError, OSError) as e:
+            log.error(str(e))
+            return 1
+        batches = _interleaved(args.input, open_one, crop_h, crop_w,
+                               args.batch, args.skip_cuts, log)
 
     def run():
         t0 = time.perf_counter()
         losses = []
-        batches = _interleaved(args.input, open_one, crop_h, crop_w,
-                               args.batch, args.skip_cuts, log)
-        for step_i, (prev, target, curr) in enumerate(batches, 1):
-            params_, opt_state_, loss = train_step(
-                run.params, run.opt_state, jnp.asarray(prev),
-                jnp.asarray(curr), jnp.asarray(target))
+        for step_i, b in enumerate(batches, 1):
+            if synth:
+                prev, target, curr = b["prev"], b["target"], b["curr"]
+            else:
+                prev, target, curr = b
+            step_args = [run.params, run.opt_state, jnp.asarray(prev),
+                         jnp.asarray(curr), jnp.asarray(target)]
+            if supervised:
+                step_args.append({k: jnp.asarray(b[k]) for k in
+                                  ("flow4", "vp4", "vc4", "flow8", "vp8",
+                                   "vc8") if k in b})
+                params_, opt_state_, (loss, photo, flow) = train_step(
+                    *step_args)
+                losses.append((float(loss), float(photo), float(flow)))
+            else:
+                params_, opt_state_, loss = train_step(*step_args)
+                losses.append((float(loss),))
             run.params, run.opt_state = params_, opt_state_
-            losses.append(float(loss))
             if step_i % args.log_every == 0:
                 rate = step_i / (time.perf_counter() - t0)
+                win = np.mean(losses[-args.log_every:], axis=0)
+                extra = (f"  photo {win[1]:.5f}  flow {win[2]:.5f}"
+                         if supervised else "")
                 log.info(f"step {step_i}/{args.steps}  loss "
-                         f"{np.mean(losses[-args.log_every:]):.5f}  "
-                         f"({rate:.1f} steps/s)")
+                         f"{win[0]:.5f}{extra}  ({rate:.1f} steps/s)")
             if step_i >= args.steps:
                 return losses
         log.warning("sources exhausted before --steps; stopping")
@@ -243,7 +319,8 @@ def main(argv=None) -> int:
         losses = run()
 
     if losses:
-        log.info(f"final loss {losses[-1]:.5f} (first {losses[0]:.5f})")
+        log.info(f"final loss {losses[-1][0]:.5f} "
+                 f"(first {losses[0][0]:.5f})")
     if args.checkpoint:
         save_pytree(args.checkpoint, run.params)
         log.info(f"saved parameters to {args.checkpoint}")
