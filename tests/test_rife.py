@@ -72,6 +72,16 @@ def test_tp_sharded_training_step(rng):
 class TestIFNet2:
     """Two-stage coarse-to-fine head (v2, round 4)."""
 
+    def test_down4_mean_matches_chained_down2(self, rng):
+        """_down4_mean is the chained 2x2 mean up to f32 re-association
+        (it exists because the chained reshape-mean lowered ~60x off
+        memory-bound on chip — see its docstring)."""
+        x = jnp.asarray(rng.random((2, 4, 32, 48)).astype("float32") * 255)
+        a = rife._down4_mean(x)
+        b = rife._down2_mean(rife._down2_mean(x))
+        assert a.shape == b.shape == (2, 4, 8, 12)
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-4
+
     def test_forward2_shapes_finite(self, triplet):
         prev, curr, _ = triplet
         params = rife.init_params2(jax.random.PRNGKey(0), hidden=32)

@@ -28,6 +28,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -407,6 +408,22 @@ def _down2_mean(x: jax.Array) -> jax.Array:
     return x.reshape(b, c, h // 2, 2, w // 2, 2).mean((3, 5))
 
 
+def _down4_mean(x: jax.Array) -> jax.Array:
+    """4x4 box downsample of [B, C, H, W] — the v2 stage-2 frame feed.
+
+    Same mean as two chained :func:`_down2_mean` up to f32 re-association
+    (measured max |d| 3e-5 on 0..255 frames), but lowered as ONE
+    reduce_window: the chained reshape-mean variant compiled to a
+    lane/sublane-interleaving shuffle that measured 24.7 ms per 4K frame
+    on chip — ~60x off memory-bound — vs 4.5 ms here (ablation
+    2026-08-18; the banded-MXU matmul variant was faster still at 3.7 ms
+    but contracts on the bf16 MXU path, max |d| 0.61 — rejected).
+    reduce_window-with-add is linear, so the training path (which shares
+    this helper via _head2_raw) keeps exact gradients."""
+    return lax.reduce_window(x, 0.0, lax.add, (1, 1, 4, 4), (1, 1, 4, 4),
+                             "VALID") * F32(1.0 / 16.0)
+
+
 def _up2(out: jax.Array) -> jax.Array:
     """Head output [B, 5, h, w] -> [B, 5, 2h, 2w]; flow VALUES double with
     resolution, the mask logit does not."""
@@ -450,8 +467,8 @@ def _head2_raw(params: dict, prev: jax.Array, curr: jax.Array, dtype=F32,
     # stage 2 @ 1/4: warp the quarter-res frames by the coarse flow and
     # refine the residual.
     out0_4 = _up2(out0)
-    p4 = _down2_mean(_down2_mean(prev.astype(F32)))
-    c4 = _down2_mean(_down2_mean(curr.astype(F32)))
+    p4 = _down4_mean(prev.astype(F32))
+    c4 = _down4_mean(curr.astype(F32))
     if fast:
         # inference: the differentiable gather warp is off-budget on TPU
         # (XLA gather measured ~6.6 s/frame at 4K full res in r2 — still
