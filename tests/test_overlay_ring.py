@@ -104,3 +104,50 @@ class TestLearnedEngineMode:
             input_width=64, input_height=48, motion_mode="learned"))
         with pytest.raises(ValueError):
             make_interp_step(cfg)
+
+    def test_v2_qfeed_stream_bitwise(self, rng):
+        """q_feed streaming (quarter-frame cache threaded between pairs,
+        each frame downsampled once) is bitwise-identical to the plain
+        2-arg step: the cached quarter IS a fresh downsample of the same
+        frame.  Runs a 3-pair stream at identity size so donation of
+        prev AND q_seed is exercised."""
+        from tpufg.config import EngineConfig, resolve_sizes
+        from tpufg.engine.pipeline import make_interp_step, make_q_init
+        from tpufg.models import rife
+
+        params = rife.init_params2(jax.random.PRNGKey(1), hidden=16)
+        cfg = resolve_sizes(EngineConfig(
+            input_width=64, input_height=48, output_width=64,
+            output_height=48, dtype="f32", motion_mode="learned"))
+        plain = make_interp_step(cfg, model_params=params)
+        qstep = make_interp_step(cfg, model_params=params, q_feed=True)
+        frames = [rng.integers(0, 256, (48, 64, 4), dtype=np.uint8)
+                  for _ in range(4)]
+        # separate device copies per step: identity size donates prev
+        fa = [jnp.asarray(f) for f in frames]
+        fb = [jnp.asarray(f) for f in frames]
+        q = make_q_init(cfg)(fb[0])
+        assert q.shape == (4, 48 // 4, 64 // 4)
+        for i in range(3):
+            ref = plain(fa[i], fa[i + 1])
+            *outs, q = qstep(fb[i], fb[i + 1], q)
+            assert len(outs) == len(ref)
+            for r, o in zip(ref, outs):
+                assert (np.asarray(r) == np.asarray(o)).all()
+
+    def test_qfeed_noop_for_v1(self, rng):
+        """q_feed is silently dropped for a v1 head: the step keeps the
+        2-arg API (nothing to cache — v1 has no stage-2 quarter feed)."""
+        from tpufg.config import EngineConfig, resolve_sizes
+        from tpufg.engine.pipeline import make_interp_step
+        from tpufg.models import rife
+
+        params = rife.init_params(jax.random.PRNGKey(0), hidden=16)
+        cfg = resolve_sizes(EngineConfig(
+            input_width=64, input_height=48, output_width=64,
+            output_height=48, dtype="f32", motion_mode="learned"))
+        step = make_interp_step(cfg, model_params=params, q_feed=True)
+        a = jnp.asarray(rng.integers(0, 256, (48, 64, 4), dtype=np.uint8))
+        b = jnp.asarray(rng.integers(0, 256, (48, 64, 4), dtype=np.uint8))
+        out_i, out_c = step(a, b)
+        assert out_i.shape == (48, 64, 4)

@@ -54,10 +54,28 @@ def _run_config(tag, cfg_kw, n, steps_kind, model_params=None,
         step = lambda p, c: (step1(c),)
         outs_per_step = 1
     else:
-        step = make_interp_step(cfg, wire="i32",
-                                model_params=model_params,
-                                motion_skip_alpha=skip_alpha)
+        step_raw = make_interp_step(cfg, wire="i32",
+                                    model_params=model_params,
+                                    motion_skip_alpha=skip_alpha,
+                                    q_feed=True)
         outs_per_step = max(2, int(cfg.fps_multiplier))
+        from tpufg.models import rife
+        if model_params is not None and rife.is_v2(model_params):
+            # the bench pairs are a sliding stream (pair i's curr is
+            # pair i+1's prev), so thread the v2 quarter cache exactly
+            # like the runner does — this times the production
+            # streaming behavior (each frame downsampled once)
+            from tpufg.engine.pipeline import make_q_init
+            qinit = make_q_init(cfg)
+            qh = {"q": None}
+
+            def step(p, c):
+                if qh["q"] is None:
+                    qh["q"] = qinit(p)
+                *outs, qh["q"] = step_raw(p, c, qh["q"])
+                return tuple(outs)
+        else:
+            step = step_raw
 
     def sync(o):
         leaf = jax.tree_util.tree_leaves(o)[0]

@@ -128,7 +128,8 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
                   scene_cut_threshold: float = 0.0,
                   scene_cut_axis: str | None = None,
                   mv_seed=None, return_mv: bool = False,
-                  motion_skip_alpha: bool = False):
+                  motion_skip_alpha: bool = False,
+                  q_seed=None, return_q: bool = False):
     """The production interpolation core, shared by the single-chip step and
     the multi-chip sharded step (tpufg.parallel.spatial) so multi-chip runs
     the SAME math per shard.
@@ -197,11 +198,25 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
         hp, wp = round_up(h, 16), round_up(w, 16)
         pp = _edge_pad_chw(p.astype(F32), hp, wp)
         cp = _edge_pad_chw(c.astype(F32), hp, wp)
+        if rife.is_v2(model_params):
+            # v2 stage-2 quarter frames: curr's is computed ONCE here
+            # (~4.5 ms per 4K frame); prev's comes from the threaded
+            # stream cache when the engine provides it (q_seed = last
+            # step's q_out — bitwise-identical to recomputing, same
+            # function on the same frame)
+            c4 = rife._down4_mean(cp[None])[0]
+            p4 = q_seed if q_seed is not None \
+                else rife._down4_mean(pp[None])[0]
+            for tf in factors:
+                interps.append(cut_fallback(
+                    rife.interpolate_fast2(model_params, pp, cp, tf,
+                                           p4=p4, c4=c4)[:, :h, :w], tf))
+            return (interps, c4) if return_q else interps
         for tf in factors:
             interps.append(cut_fallback(
                 rife.interpolate_fast(model_params, pp, cp, tf)[:, :h, :w],
                 tf))
-        return interps
+        return (interps, None) if return_q else interps
     # pad to the motion/warp lattice (pyramid needs grid*2^(L-1))
     mult = MV_GRID * 2 ** (PYR_LEVELS - 1)
     hp, wp = round_up(h, mult), round_up(w, mult)
@@ -322,7 +337,8 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
 def make_interp_step(cfg: EngineConfig, precision: str = "fast",
                      model_params=None, wire: str = "u8",
                      sink_wire: str = "rgba",
-                     motion_skip_alpha: bool = False) -> Callable:
+                     motion_skip_alpha: bool = False,
+                     q_feed: bool = False) -> Callable:
     """(prev_u8, curr_u8) -> (interp_scaled_u8, ..., curr_scaled_u8).
 
     The fps-multiplying streaming step.  With cfg.fps_multiplier == k it
@@ -342,6 +358,16 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
     alpha — see interp_planar).  The engine sets this from the source's
     ``const_alpha`` hint; the exact oracle path ignores it (the oracle IS
     the 4-channel spec).
+
+    ``q_feed`` (v2 learned head, streaming): the step takes a third arg
+    ``q_seed`` — prev's quarter-res stage-2 frame (donated) — and
+    returns curr's as an extra trailing output, so the runner threads
+    it between pairs and each frame is box-downsampled ONCE instead of
+    twice (~4.5 ms per 4K frame; see rife._down4_mean).  Bitwise-
+    identical outputs (the cache is the same function on the same
+    frame).  Opt-in so the 2-arg step API stays stable for tools; a
+    no-op request (v1 head, exact path) is silently dropped.  Initial
+    seed: ``make_q_init(cfg)``.
     """
     out_h, out_w = cfg.output_height, cfg.output_width
     t = cfg.interpolation_factor
@@ -373,7 +399,13 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
               and cfg.input_height > 0 and to_y4m is None)
     temporal = (bool(cfg.temporal_mv) and mode == "pyramid"
                 and precision != "exact")
-    donate_idx = ((0,) if donate else ()) + ((2,) if temporal else ())
+    qfeed = False
+    if q_feed and mode == "learned" and precision != "exact" \
+            and model_params is not None:
+        from tpufg.models import rife as _rife
+        qfeed = _rife.is_v2(model_params)
+    donate_idx = ((0,) if donate else ()) \
+        + ((2,) if temporal or qfeed else ())
     jit_step = (functools.partial(jax.jit, donate_argnums=donate_idx)
                 if donate_idx else jax.jit)
 
@@ -397,7 +429,7 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
 
         return step
 
-    def body(prev_u8, curr_u8, mv_seed=None):
+    def body(prev_u8, curr_u8, mv_seed=None, q_seed=None):
         # f32 storage end to end; dt picks matmul operand precision only
         p = frames_to_planar(prev_u8, F32)
         c = frames_to_planar(curr_u8, F32)
@@ -412,8 +444,15 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
                             occlusion_blend=cfg.occlusion_blend,
                             scene_cut_threshold=cfg.scene_cut_threshold,
                             mv_seed=mv_seed, return_mv=temporal,
-                            motion_skip_alpha=motion_skip_alpha)
-        interps, mv_out = res if temporal else (res, None)
+                            motion_skip_alpha=motion_skip_alpha,
+                            q_seed=q_seed, return_q=qfeed)
+        mv_out = q_out = None
+        if temporal:
+            interps, mv_out = res
+        elif qfeed:
+            interps, q_out = res
+        else:
+            interps = res
         # separate scale calls per output (a stacked-channel single call
         # measured ~1.3 ms slower: the concat materializes both frames)
         if (out_h, out_w) == (h, w):
@@ -439,6 +478,8 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
             outs = [to_y4m(o) for o in outs]
         if temporal:
             return tuple(outs) + (mv_out,)
+        if qfeed:
+            return tuple(outs) + (q_out,)
         return tuple(outs)
 
     if temporal:
@@ -447,12 +488,37 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
             # (..., mv_seed) -> (*frames, mv_out): thread the MV field
             # between pairs (runner keeps it on-device; zeros to start)
             return body(prev_u8, curr_u8, mv_seed)
+    elif qfeed:
+        @jit_step
+        def step(prev_u8, curr_u8, q_seed):
+            # (..., q_seed) -> (*frames, q_out): thread the v2 quarter
+            # frame between pairs (runner keeps it on-device; seeded by
+            # make_q_init on the stream's first frame)
+            return body(prev_u8, curr_u8, q_seed=q_seed)
     else:
         @jit_step
         def step(prev_u8, curr_u8):
             return body(prev_u8, curr_u8)
 
     return step
+
+
+def make_q_init(cfg: EngineConfig, interpret: bool | None = None):
+    """Jit'd frame -> v2 stage-2 quarter frame, replicating the padded
+    learned-path downsample EXACTLY (frames_to_planar -> edge pad to the
+    16-px lattice -> rife._down4_mean), so seeding a q_feed step with it
+    is bitwise-identical to the step computing prev's quarter itself.
+    Compiled once per stream (tiny program — one box reduce)."""
+    from tpufg.models.rife import _down4_mean
+    hp = round_up(cfg.input_height, 16)
+    wp = round_up(cfg.input_width, 16)
+
+    @jax.jit
+    def q_init(frame):
+        p = frames_to_planar(frame, F32)
+        return _down4_mean(_edge_pad_chw(p, hp, wp)[None])[0]
+
+    return q_init
 
 
 def mv_lattice_shape(cfg: EngineConfig) -> tuple[int, int, int]:

@@ -72,6 +72,8 @@ class StreamingEngine:
         # uint8 views on the host, no u8<->i32 bitcast relayouts on-device
         self._wire = "u8" if precision == "exact" else "i32"
         self._steps_wire = None  # sink wire the built steps target
+        self._qfeed = False      # v2 learned quarter-cache threading
+        self._q_init = None
         self._fps_win = FpsWindow(cfg.fps_window)
         self._lat = LatencyRecorder()
 
@@ -98,7 +100,15 @@ class StreamingEngine:
                 cfg, "exact" if self.precision == "exact" else "fast",
                 model_params=self.model_params, wire=self._wire,
                 sink_wire=sink_wire,
-                motion_skip_alpha=skip_alpha and self.precision != "exact")
+                motion_skip_alpha=skip_alpha and self.precision != "exact",
+                q_feed=True)  # v2 learned streams thread the quarter cache
+            self._qfeed = (cfg.motion_mode == "learned"
+                           and self.precision != "exact"
+                           and self.model_params is not None)
+            if self._qfeed:
+                from tpufg.models import rife
+                self._qfeed = rife.is_v2(self.model_params)
+            self._q_init = None
         self._step1 = (make_exact_scale_step(cfg)
                        if self.precision == "exact"
                        else make_scale_step(cfg, wire=self._wire,
@@ -150,6 +160,7 @@ class StreamingEngine:
                     and cfg.motion_mode == "pyramid"
                     and self.precision != "exact")
         mv_state = None
+        q_state = None  # v2 learned quarter cache (see _qfeed)
         if temporal:
             import jax
             import jax.numpy as jnp
@@ -213,6 +224,17 @@ class StreamingEngine:
                         # to the host)
                         *outs, mv_state = self._step2(
                             prev_dev, dev, mv_state)
+                    elif self._qfeed:
+                        # thread the v2 quarter-frame cache (donated;
+                        # each frame is box-downsampled once per stream)
+                        if q_state is None:
+                            if self._q_init is None:
+                                from tpufg.engine.pipeline import \
+                                    make_q_init
+                                self._q_init = make_q_init(cfg)
+                            q_state = self._q_init(prev_dev)
+                        *outs, q_state = self._step2(
+                            prev_dev, dev, q_state)
                     else:
                         outs = list(self._step2(prev_dev, dev))
                 else:

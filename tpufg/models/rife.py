@@ -433,13 +433,20 @@ def _up2(out: jax.Array) -> jax.Array:
 
 
 def _head2_raw(params: dict, prev: jax.Array, curr: jax.Array, dtype=F32,
-               fast: bool = False, ft: bool = False):
+               fast: bool = False, ft: bool = False, p4=None, c4=None):
     """Two-stage trunk: frame pair -> refined head output
     [B, 5, H/4, W/4] (flows in 1/4-res pixel units + mask logit) plus the
     coarse stage-1 output [B, 5, H/8, W/8] for auxiliary supervision.
 
     ``fast``: route the full-res encoder conv through the Pallas kernel
     (inference, B == 1 — see _trunk_raw).
+
+    ``p4``/``c4``: optional precomputed quarter-res frames
+    [B, C, H/4, W/4] f32 (the stage-2 warp inputs).  The streaming
+    engine downsamples each frame ONCE and threads the result between
+    steps (prev's quarter == last step's curr quarter — the 4x4 box
+    mean is ~4.5 ms per 4K frame on chip, see _down4_mean); identical
+    output by construction (same function, same input).
 
     ``ft`` (fast-consistent training): the stage-2 coarse warp runs the
     differentiable replica of the INFERENCE coarse warp (4-px lattice,
@@ -467,8 +474,10 @@ def _head2_raw(params: dict, prev: jax.Array, curr: jax.Array, dtype=F32,
     # stage 2 @ 1/4: warp the quarter-res frames by the coarse flow and
     # refine the residual.
     out0_4 = _up2(out0)
-    p4 = _down4_mean(prev.astype(F32))
-    c4 = _down4_mean(curr.astype(F32))
+    if p4 is None:
+        p4 = _down4_mean(prev.astype(F32))
+    if c4 is None:
+        c4 = _down4_mean(curr.astype(F32))
     if fast:
         # inference: the differentiable gather warp is off-budget on TPU
         # (XLA gather measured ~6.6 s/frame at 4K full res in r2 — still
@@ -625,17 +634,23 @@ def loss_fn2_sup(params, prev, curr, target, sup, t: float = 0.5,
 def interpolate_fast2(params: dict, prev: jax.Array, curr: jax.Array,
                       t: float = 0.5, grid: int = 16,
                       max_flow: int = 8, dtype=jnp.bfloat16,
-                      integer_flow: bool | None = None) -> jax.Array:
+                      integer_flow: bool | None = None,
+                      p4=None, c4=None) -> jax.Array:
     """v2 inference: the two-stage trunk's refined head output feeds the
     SAME lattice-sample + one-hot-warp tail as v1 (the refined output has
     v1's exact shape/semantics: [5, H/4, W/4], flows in 1/4-res units) —
     but with FRACTIONAL block flows by default: v2 learns real sub-pixel
     flows, and rounding them measured -2.44 dB on the rich corpus (see
-    interpolate_fast's integer_flow docs for both measurements)."""
+    interpolate_fast's integer_flow docs for both measurements).
+
+    ``p4``/``c4``: optional precomputed quarter frames [C, H/4, W/4]
+    (the engine's streaming cache — see _head2_raw)."""
     if integer_flow is None:
         integer_flow = False
     out1, _ = _head2_raw(params, prev[None], curr[None], dtype=dtype,
-                         fast=True)
+                         fast=True,
+                         p4=None if p4 is None else p4[None],
+                         c4=None if c4 is None else c4[None])
     return _fast_tail(out1[0], prev, curr, t, grid, max_flow, dtype,
                       integer_flow)
 
