@@ -246,6 +246,28 @@ class TestFastConsistentTraining:
 
 
 class TestTrainCLI:
+    def test_save_every_checkpoints_midrun(self, tmp_path, monkeypatch):
+        """--save-every N writes the checkpoint DURING the run (a
+        bounded/killed run keeps its progress — the end-of-run-only
+        save lost a 5540-step round-4 campaign run)."""
+        import tpufg.utils.checkpoint as ckpt_mod
+        from tpufg.models import train
+        saves = []
+        orig = ckpt_mod.save_pytree
+        monkeypatch.setattr(
+            ckpt_mod, "save_pytree",
+            lambda path, tree: (saves.append(path), orig(path, tree))[1])
+        ckpt = str(tmp_path / "periodic.npz")
+        rc = train.main(["synthetic:64x64", "--steps", "5", "--batch",
+                         "2", "--crop", "32x48", "--hidden", "16",
+                         "--save-every", "2", "--checkpoint", ckpt,
+                         "--log-every", "2"])
+        assert rc == 0
+        # mid-run saves at steps 2 and 4, plus the final save
+        assert saves == [ckpt] * 3
+        from tpufg.models import rife
+        assert rife.load_params(ckpt)["enc2"]["w"].shape[0] == 16
+
     def test_train_main_raw_file_epochs(self, rng, tmp_path):
         """Trainer on a raw FILE source: size flags accepted, multiple
         epochs over a short file (re-opened per epoch — the one-shot

@@ -175,6 +175,11 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", default=None)
     p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--save-every", type=int, default=0, metavar="N",
+                   help="also write --checkpoint every N steps (0 = only "
+                        "at the end) so a bounded/killed run keeps its "
+                        "progress — a 6000-step run died at 5540 unsaved "
+                        "before this existed")
     p.add_argument("--ft", action="store_true",
                    help="fast-consistent training: the loss runs the "
                         "differentiable replica of the deployed inference "
@@ -308,6 +313,12 @@ def main(argv=None) -> int:
                          if supervised else "")
                 log.info(f"step {step_i}/{args.steps}  loss "
                          f"{win[0]:.5f}{extra}  ({rate:.1f} steps/s)")
+            if (args.save_every > 0 and args.checkpoint
+                    and step_i % args.save_every == 0
+                    and step_i < args.steps):
+                save_pytree(args.checkpoint, run.params)
+                log.info(f"checkpointed step {step_i} "
+                         f"-> {args.checkpoint}")
             if step_i >= args.steps:
                 return losses
         log.warning("sources exhausted before --steps; stopping")
