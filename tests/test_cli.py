@@ -133,6 +133,7 @@ class TestQualityPreset:
             "--quality", "--no-pacing", "--frames", "2",
             "synthetic:64x64"])
         assert cfg.mv_grid == 1 and cfg.subpel and cfg.mv_filter
+        assert cfg.mc_fallback
         assert cfg.mv_bias == pytest.approx(0.1)
 
     def test_explicit_flags_beat_preset(self, monkeypatch):

@@ -177,7 +177,8 @@ class TestStreaming:
         cfg = _cfg(input_width=128, input_height=64, output_width=128,
                    output_height=64, motion_mode="pyramid",
                    temporal_mv=True, scene_cut_threshold=0.12,
-                   mv_filter=True, occlusion_blend=True, overlay=True)
+                   mv_filter=True, occlusion_blend=True, mc_fallback=True,
+                   overlay=True)
         src = SyntheticSource(128, 64, n_frames=5, pattern="panmix")
         out = tmp_path / "all.raw"
         with RawVideoSink(str(out)) as sink:
@@ -432,6 +433,55 @@ class TestMotionQuality:
         p_p = psnr(truth[inner] / 255, out_p[inner] / 255)
         p_o = psnr(truth[inner] / 255, out_o[inner] / 255)
         assert p_o > p_p - 0.8, (p_o, p_p)  # bounded net cost
+
+    def test_mc_fallback_adaptive(self, rng):
+        """--mc-fallback: per-cell crossfade fallback wherever warping does
+        not reduce photometric disagreement vs zero motion.
+
+        Two characteristics: (a) on content with NO true correspondence
+        (a region whose texture is independently redrawn between frames —
+        block matching locks onto spurious matches) the fallback output
+        converges to the crossfade; (b) on clean translational motion the
+        fallback is a near-no-op (MC keeps its structural win)."""
+        from tpufg.utils.quality import psnr
+
+        h, w = 128, 128
+
+        def smooth(x):
+            for k in (1, 2):
+                x = (x + np.roll(x, k, 0) + np.roll(x, k, 1)) / 3
+            return x
+
+        def run(prev, curr, fb, mode="pyramid"):
+            cfg = _cfg(input_width=w, input_height=h, output_width=w,
+                       output_height=h, motion_mode=mode, mc_fallback=fb)
+            return np.asarray(make_interp_step(cfg)(
+                jnp.asarray(prev), jnp.asarray(curr))[0]).astype(np.float64)
+
+        # (a) spurious-motion content: independent textures per frame
+        a = np.clip(smooth(rng.random((h, w, 4)).astype(np.float32)) * 255,
+                    0, 255).astype(np.uint8)
+        b = np.clip(smooth(rng.random((h, w, 4)).astype(np.float32)) * 255,
+                    0, 255).astype(np.uint8)
+        crossfade = run(a, b, False, mode="none")
+        out_mc = run(a, b, False)
+        out_fb = run(a, b, True)
+        inner = (slice(16, -16), slice(16, -16), slice(0, 3))
+        gap_mc = np.abs(out_mc[inner] - crossfade[inner]).mean()
+        gap_fb = np.abs(out_fb[inner] - crossfade[inner]).mean()
+        assert gap_fb < 0.35 * gap_mc, (gap_fb, gap_mc)
+
+        # (b) clean translation: fallback must not cost MC's win
+        bg = smooth(rng.random((h + 16, w + 16, 4)).astype(np.float32))
+        f0 = np.clip(bg[:h, :w] * 255, 0, 255).astype(np.uint8)
+        f1 = np.clip(bg[8:h + 8, 8:w + 8] * 255, 0, 255).astype(np.uint8)
+        truth = np.clip(bg[4:h + 4, 4:w + 4] * 255, 0, 255) / 255.0
+        p_mc = psnr(truth[inner], run(f0, f1, False)[inner] / 255)
+        p_fb = psnr(truth[inner], run(f0, f1, True)[inner] / 255)
+        p_cf = psnr(truth[inner], run(f0, f1, False, mode="none")[inner]
+                    / 255)
+        assert p_fb > p_cf + 3.0, (p_fb, p_cf)   # keeps the MC win
+        assert p_fb > p_mc - 0.3, (p_fb, p_mc)   # near-no-op vs pure MC
 
     def test_exhaustive_streaming_run(self):
         """Exhaustive mode through the whole streaming engine (runner +

@@ -78,9 +78,17 @@ def main(argv=None):
     modes = {
         "crossfade": dict(motion_mode="none", dtype="bf16"),
         "pyramid": dict(motion_mode="pyramid", dtype="bf16"),
+        # "quality" mirrors the --quality preset (config.apply_quality_preset
+        # + occlusion_blend); "quality_nofb" is the r3 preset without the
+        # adaptive crossfade fallback, kept for attribution
         "quality": dict(motion_mode="pyramid", dtype="bf16", mv_grid=1,
                         subpel=True, mv_bias=0.1, occlusion_blend=True,
-                        mv_filter=True),
+                        mv_filter=True, mc_fallback=True),
+        "quality_nofb": dict(motion_mode="pyramid", dtype="bf16", mv_grid=1,
+                             subpel=True, mv_bias=0.1, occlusion_blend=True,
+                             mv_filter=True),
+        "pyramid_fb": dict(motion_mode="pyramid", dtype="bf16",
+                           mc_fallback=True),
         "exhaustive": dict(motion_mode="exhaustive", dtype="bf16"),
         "learned": dict(motion_mode="learned", dtype="bf16"),
     }

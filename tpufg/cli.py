@@ -126,6 +126,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shift the blend toward the temporally closer frame "
                         "where warped sources disagree (suppresses "
                         "double-exposure ghosts at occlusions)")
+    p.add_argument("--mc-fallback", action="store_true",
+                   help="adaptive fallback to a plain crossfade per 8x8 "
+                        "cell wherever motion compensation does not reduce "
+                        "photometric disagreement vs zero motion (wrong "
+                        "motion degrades to blur instead of ghosting)")
     p.add_argument("--scene-cut", type=float, default=0.0, metavar="T",
                    help="scene-cut fallback: when mean |prev-curr| (0..1 "
                         "units) exceeds T, in-between frames repeat the "
@@ -134,8 +139,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quality", nargs="?", const="on",
                    choices=["on", "auto"], default=None, metavar="MODE",
                    help="best-quality interpolation preset (= --mv-grid 1 "
-                        "--subpel --mv-bias 0.1 --mv-filter; explicit flags "
-                        "win).  'auto' measures the preset's step rate "
+                        "--subpel --mv-bias 0.1 --mv-filter --mc-fallback; "
+                        "explicit flags win).  "
+                        "'auto' measures the preset's step rate "
                         "first and keeps it only when it sustains 1.5x the "
                         "target input rate, else falls back to the latency "
                         "defaults")
@@ -194,6 +200,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         mv_bias=args.mv_bias,
         mv_filter=args.mv_filter,
         occlusion_blend=args.occlusion_blend,
+        mc_fallback=args.mc_fallback,
         scene_cut_threshold=args.scene_cut,
         temporal_mv=args.temporal_mv,
     )

@@ -125,6 +125,7 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
                   subpel: bool = False, mv_bias: float = 0.0,
                   mv_filter: bool = False,
                   occlusion_blend: bool = False,
+                  mc_fallback: bool = False,
                   scene_cut_threshold: float = 0.0,
                   scene_cut_axis: str | None = None,
                   mv_seed=None, return_mv: bool = False,
@@ -323,6 +324,7 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
                                    bilinear=bilin,
                                    search_radius=r_warp,
                                    dtype=dt, occlusion=occlusion_blend,
+                                   mc_fallback=mc_fallback,
                                    integer_offsets=int_offs,
                                    # engine frames are always dequantized
                                    # uint8 -> the integer-offset bf16 warp
@@ -442,6 +444,7 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
                             mv_bias=cfg.mv_bias,
                             mv_filter=cfg.mv_filter,
                             occlusion_blend=cfg.occlusion_blend,
+                            mc_fallback=cfg.mc_fallback,
                             scene_cut_threshold=cfg.scene_cut_threshold,
                             mv_seed=mv_seed, return_mv=temporal,
                             motion_skip_alpha=motion_skip_alpha,

@@ -40,6 +40,19 @@ F32 = jnp.float32
 OCC_D0 = 0.08
 OCC_SLOPE = 8.0
 
+# adaptive MC->crossfade fallback response (mc_fallback=True): per 8x8
+# cell, the warped pair's photometric disagreement is compared against the
+# ZERO-MOTION disagreement |prev - curr| of the same cell.  Where warping
+# does not reduce disagreement the motion is wrong (aperture traps,
+# rotation, thin two-motion blocks) and a crossfade has strictly lower
+# expected pointwise error; where warping clearly helps, MC keeps its
+# structural advantage.  rel = D_mc / (D_cf + FB_FLOOR): full MC at
+# rel <= FB_LO, full crossfade at rel >= FB_HI, linear between.  FB_FLOOR
+# (~4 LSB) keeps noise in near-static cells from triggering the fallback.
+FB_FLOOR = 0.015
+FB_LO = 0.5
+FB_HI = 1.0
+
 
 def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
               dtype, prec, max_off, integer_offsets=False,
@@ -214,7 +227,7 @@ def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
     jax.jit,
     static_argnames=("factor", "block", "search_radius", "single", "dtype",
                      "occlusion", "integer_offsets", "bilinear", "u8_exact",
-                     "_valid_w"),
+                     "mc_fallback", "_valid_w"),
 )
 def warp_blend_matmul(
     prev: jax.Array,
@@ -229,6 +242,7 @@ def warp_blend_matmul(
     integer_offsets: bool = False,
     bilinear: bool = False,
     u8_exact: bool = False,
+    mc_fallback: bool = False,
     _valid_w: int | None = None,
 ) -> jax.Array:
     """Motion-compensated blend (production XLA/MXU path).
@@ -245,6 +259,13 @@ def warp_blend_matmul(
     closer frame.  Fused elementwise on the already-materialized warped
     pair — measured cost is noise.  Off by default (the shader spec blends
     unconditionally, interpolate.comp:38).
+
+    ``mc_fallback``: adaptive per-cell fallback to a plain crossfade where
+    motion compensation does not reduce photometric disagreement (FB_*
+    constants; wrong-motion regions then degrade to the blur of a
+    crossfade instead of structural ghosting — the pointwise-safer
+    failure mode).  Off by default (a quality extension beyond
+    interpolate.comp's unconditional blend).
 
     ``u8_exact``: caller-guaranteed frame values are exact UNORM8 codes
     (x == k/255 to f32 rounding — true for every engine frame).  With
@@ -273,6 +294,7 @@ def warp_blend_matmul(
                                 search_radius=search_radius, single=single,
                                 integer_offsets=integer_offsets,
                                 bilinear=bilinear, u8_exact=u8_exact,
+                                mc_fallback=mc_fallback,
                                 dtype=dtype, occlusion=occlusion, _valid_w=w)
         return out[:, :, :w]
     n_by, n_bx = h // g, w // g
@@ -372,12 +394,36 @@ def warp_blend_matmul(
     mask_p = oob_mask(-t)
     mask_c = oob_mask(F32(1.0) - t)
     base = warped_p * mask_p * (F32(1.0) - t) + warped_c * mask_c * t
-    if not occlusion:
-        return base
-    # photometric disagreement of the two warped sources ([0,1] units):
-    # large -> covered/revealed content, averaging would double-expose
-    d = jnp.mean(jnp.abs(warped_p - warped_c), axis=0, keepdims=True)
-    k = jnp.clip((d - F32(OCC_D0)) * F32(OCC_SLOPE), F32(0.0), F32(1.0))
-    chosen = (warped_p * mask_p if float(factor) <= 0.5
-              else warped_c * mask_c)
-    return base * (F32(1.0) - k) + chosen * k
+    out = base
+    if occlusion:
+        # photometric disagreement of the two warped sources ([0,1] units):
+        # large -> covered/revealed content, averaging would double-expose
+        d = jnp.mean(jnp.abs(warped_p - warped_c), axis=0, keepdims=True)
+        k = jnp.clip((d - F32(OCC_D0)) * F32(OCC_SLOPE), F32(0.0), F32(1.0))
+        chosen = (warped_p * mask_p if float(factor) <= 0.5
+                  else warped_c * mask_c)
+        out = base * (F32(1.0) - k) + chosen * k
+    if not mc_fallback:
+        return out
+    # adaptive MC->crossfade fallback (see FB_* constants above): compare
+    # the warped pair's disagreement against the zero-motion disagreement
+    # per 8x8 cell (RGB channels only — constant alpha would dilute both).
+    # Masked (OOB-blanked) samples read as large disagreement, so blanked
+    # borders fall back to a crossfade instead of black — a deliberate
+    # quality divergence from the shader's blanking, opt-in via the flag.
+    nc = min(3, n_ch)
+    d_mc = jnp.mean(jnp.abs(warped_p[:nc] * mask_p - warped_c[:nc] * mask_c),
+                    axis=0, keepdims=True)
+    d_cf = jnp.mean(jnp.abs(prev[:nc].astype(F32) - curr[:nc].astype(F32)),
+                    axis=0, keepdims=True)
+    if h % 8 == 0 and w % 8 == 0:
+        def cell_mean(x):
+            m = x.reshape(1, h // 8, 8, w // 8, 8).mean(axis=(2, 4))
+            return jax.image.resize(m, (1, h, w), method="linear")
+        d_mc, d_cf = cell_mean(d_mc), cell_mean(d_cf)
+    rel = d_mc / (d_cf + F32(FB_FLOOR))
+    wfb = jnp.clip((rel - F32(FB_LO)) / F32(FB_HI - FB_LO),
+                   F32(0.0), F32(1.0))
+    crossfade = (prev.astype(F32) * (F32(1.0) - t)
+                 + curr.astype(F32) * t)
+    return out * (F32(1.0) - wfb) + crossfade * wfb

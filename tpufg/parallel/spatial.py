@@ -175,6 +175,7 @@ def make_sharded_interp_step(
             model_params=model_params,
             subpel=cfg.subpel, mv_bias=cfg.mv_bias,
             mv_filter=cfg.mv_filter, occlusion_blend=cfg.occlusion_blend,
+            mc_fallback=cfg.mc_fallback,
             mv_seed=seed_ext, return_mv=temporal,
             motion_skip_alpha=motion_skip_alpha,
             # pmean over sp: all spatial shards must agree on the cut
