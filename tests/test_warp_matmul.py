@@ -105,6 +105,30 @@ class TestWarpMatmul:
                                       integer_offsets=True)
                 assert float(jnp.max(jnp.abs(a - c))) < 1e-6
 
+    def test_mc_fallback_kernel_level(self, frames):
+        """mc_fallback: identical frames + zero MV is an exact no-op (the
+        warped pair agrees perfectly, fallback weight 0 — and crossfade of
+        equal frames would be the same anyway, so test a DISAGREEING pair
+        region too: uncorrelated frames converge to the crossfade)."""
+        prev, curr = frames
+        mv0 = jnp.zeros((2, 4, 16), jnp.float32)
+        a = warp_blend_matmul(prev, prev, mv0, 0.5)
+        b = warp_blend_matmul(prev, prev, mv0, 0.5, mc_fallback=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        # uncorrelated pair + a WRONG uniform MV: d_mc >> d_cf is not
+        # possible pointwise everywhere, but rel >= FB_HI holds where the
+        # warp misaligns uncorrelated noise — fallback must pull the
+        # output toward the plain crossfade vs the non-fallback warp
+        mv = jnp.full((2, 4, 16), 8.0, jnp.float32)
+        cf = np.asarray(prev * 0.5 + curr * 0.5)
+        out_mc = np.asarray(warp_blend_matmul(prev, curr, mv, 0.5))
+        out_fb = np.asarray(warp_blend_matmul(prev, curr, mv, 0.5,
+                                              mc_fallback=True))
+        inner = (slice(None), slice(16, -16), slice(16, -16))
+        gap_mc = np.abs(out_mc[inner] - cf[inner]).mean()
+        gap_fb = np.abs(out_fb[inner] - cf[inner]).mean()
+        assert gap_fb < 0.5 * gap_mc, (gap_fb, gap_mc)
+
     def test_bf16_close(self, frames):
         prev, curr = frames
         mv = jnp.full((2, 4, 16), 3.5, jnp.float32)

@@ -63,6 +63,8 @@ def main(argv=None):
     p.add_argument("--model-path", default=None,
                    help="learned-head checkpoint (default: bundled "
                         "checkpoints/head64.npz)")
+    p.add_argument("--no-gate", action="store_true",
+                   help="skip the bf16-vs-f32 gate section (faster sweeps)")
     args = p.parse_args(argv)
 
     corpus = NaturalCorpus(args.width, args.height, args.seed)
@@ -115,6 +117,9 @@ def main(argv=None):
                           model_params=model_params if m == "learned"
                           else None)
         print(f"| {m} | {ps:.2f} | {ss:.4f} |", flush=True)
+
+    if args.no_gate:
+        return
 
     # bf16-vs-f32 production gate on natural content (north-star SSIM).
     # The north-star config upscales (BASELINE.md: 1080p->4K), so the gate
