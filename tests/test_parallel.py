@@ -354,6 +354,48 @@ class TestShardedMotionModeMatrix:
     learned and temporal-mv are pinned above; exhaustive and none here
     (VERDICT r3 item 5 — these cells were previously untested)."""
 
+    def test_sharded_quality_preset_interior(self, devices, rng):
+        """The full --quality preset (mv_grid 1 + subpel + mv_bias +
+        mv_filter + mc_fallback, plus occlusion_blend) under --devices:
+        interior parity vs the single-chip step.  Pins that every
+        preset component — the OBMC warp's band geometry, the subpel
+        probe warp, and the fallback's 8x8 cell statistics — stays
+        local enough that halo exchange preserves the interior."""
+        from tpufg.config import EngineConfig, resolve_sizes
+        from tpufg.engine.pipeline import make_interp_step
+
+        mesh = make_spatial_mesh(8, dp=2)
+        sp = 4
+        in_h, in_w = sp * HALO, 128
+        cfg = resolve_sizes(EngineConfig(
+            input_width=in_w, input_height=in_h,
+            output_width=in_w, output_height=in_h,
+            dtype="f32", motion_mode="pyramid", mv_grid=1, subpel=True,
+            mv_bias=0.1, mv_filter=True, mc_fallback=True,
+            occlusion_blend=True))
+        step = make_sharded_interp_step(mesh, cfg)
+
+        tex = rng.integers(0, 256, (in_h + 16, in_w + 16, 4), dtype=np.uint8)
+        prev1 = np.ascontiguousarray(tex[:in_h, :in_w])
+        curr1 = np.ascontiguousarray(tex[4:in_h + 4, 2:in_w + 2])
+        prev2 = np.ascontiguousarray(tex[8:in_h + 8, :in_w])
+        curr2 = np.ascontiguousarray(tex[2:in_h + 2, 6:in_w + 6])
+        out_i, out_c = step(jnp.asarray(np.stack([prev1, prev2])),
+                            jnp.asarray(np.stack([curr1, curr2])))
+
+        ref_step = make_interp_step(cfg)
+        interior = slice(96, -96)
+        for bi, (p, c) in enumerate([(prev1, curr1), (prev2, curr2)]):
+            ref_i, ref_c = ref_step(jnp.asarray(p), jnp.asarray(c))
+            np.testing.assert_array_equal(
+                np.asarray(out_c[bi])[interior],
+                np.asarray(ref_c)[interior],
+                err_msg=f"quality curr pair {bi}: sharded interior diverges")
+            d = np.abs(np.asarray(out_i[bi])[interior].astype(int)
+                       - np.asarray(ref_i)[interior].astype(int))
+            assert d.max() <= 1, f"quality interp pair {bi}: {d.max()}"
+            assert (d > 0).mean() < 1e-4, f"quality interp pair {bi}"
+
     @pytest.mark.parametrize("mode,r", [("exhaustive", 8), ("none", 16)])
     def test_sharded_mode_matches_single_chip_interior(self, devices, rng,
                                                        mode, r):
