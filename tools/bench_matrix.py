@@ -130,6 +130,12 @@ def main():
                dict(input_width=1920, input_height=1080, output_width=3840,
                     output_height=2160, dtype="bf16", motion_mode="pyramid"),
                args.n, "interp")
+    run_config("4q: 1080p→4K --quality preset (per-pixel + subpel + fb)",
+               dict(input_width=1920, input_height=1080, output_width=3840,
+                    output_height=2160, dtype="bf16", motion_mode="pyramid",
+                    mv_grid=1, subpel=True, mv_bias=0.1, mv_filter=True,
+                    mc_fallback=True, occlusion_blend=True),
+               args.n, "interp")
     run_config("5a: 4K→4K 60→120 fps pyramid",
                dict(input_width=3840, input_height=2160, output_width=3840,
                     output_height=2160, dtype="bf16", motion_mode="pyramid"),

@@ -35,9 +35,17 @@ stage matrix 3000 python tools/bench_matrix.py -n 30
 # 3. on-chip pytest lane (compiled Mosaic kernels — record the green run)
 stage tpu_lane 3000 env TPUFG_TEST_TPU=1 python -m pytest tests/ -m tpu -q
 
-# 4. natural-corpus eval on chip (rich corpus; learned row = bundled head)
-stage eval_clean 3000 python tools/eval_natural.py --pairs 8
-stage eval_grain 3000 python tools/eval_natural.py --pairs 8 --grain
+# 4. natural-corpus eval on chip (rich corpus; learned row = bundled head;
+#    fb rows are the r4 adaptive MC->crossfade fallback, quality = the
+#    full preset incl. fb)
+stage eval_clean 3600 python tools/eval_natural.py --pairs 8 \
+  --modes crossfade,pyramid,quality,quality_nofb,pyramid_fb,learned
+stage eval_grain 3600 python tools/eval_natural.py --pairs 8 --grain \
+  --modes crossfade,pyramid,quality,quality_nofb,pyramid_fb,learned
+stage eval_v2 1800 python tools/eval_natural.py --pairs 8 --no-gate \
+  --model-path checkpoints/head64_v2.npz --modes learned
+stage eval_v2_grain 1800 python tools/eval_natural.py --pairs 8 --grain \
+  --no-gate --model-path checkpoints/head64_v2.npz --modes learned
 
 # 5. sites-kernel dx_chunk retry (the r3 compile-helper blocker):
 #    chunk 11 and 33 at the shipping tile on a 1088p-class frame
