@@ -169,3 +169,42 @@ class TestQualityPreset:
                      "--output", out, "synthetic:64x64"]) == 0
         import os
         assert os.path.getsize(out) == 5 * 64 * 64 * 4  # 1 + 2*2 frames
+
+
+class TestVideoFileEndToEnd:
+    def test_mp4_in_mp4_out(self, tmp_path):
+        """Real decoded video through the full CLI: an mp4 is decoded
+        (OpenCV/FFmpeg), fps-doubled with motion compensation, and
+        re-encoded; the output container reports 2x the source rate and
+        2*n-1 frames.  Also exercises the source-fps auto-detect
+        (main.cpp:67-74 analog) on container metadata."""
+        cv2 = pytest.importorskip("cv2")
+        import numpy as np
+
+        src_path = str(tmp_path / "in.mp4")
+        wr = cv2.VideoWriter(src_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             12.0, (64, 48))
+        assert wr.isOpened()
+        ys, xs = np.mgrid[0:48, 0:64].astype(np.float32)
+        n_in = 4
+        for i in range(n_in):
+            bgr = np.stack([
+                (128 + 60 * np.sin((xs + ys + 4 * i) / 31)),
+                (120 + 80 * np.cos((ys + 2 * i) / 23)),
+                (110 + 90 * np.sin((xs + 3 * i) / 17)),
+            ], axis=-1).astype(np.uint8)
+            wr.write(bgr)
+        wr.release()
+
+        out_path = str(tmp_path / "out.mp4")
+        rc = main([src_path, "--no-pacing", "--motion-mode", "pyramid",
+                   "--output", out_path, "--dtype", "f32"])
+        assert rc == 0
+        cap = cv2.VideoCapture(out_path)
+        assert cap.isOpened()
+        assert abs(cap.get(cv2.CAP_PROP_FPS) - 24.0) < 0.5  # 2x detected 12
+        n = 0
+        while cap.read()[0]:
+            n += 1
+        cap.release()
+        assert n == 2 * n_in - 1

@@ -499,3 +499,79 @@ class TestAsyncSinkPermanentFailure:
         assert len(wrote) == 2  # nothing written after the failure
         with pytest.raises(OSError, match="disk full"):
             sink.close()
+
+
+class TestVideoFile:
+    """OpenCV-decoded video sources and encoded sinks (soft dependency:
+    present in this image; skipped cleanly when absent)."""
+
+    @staticmethod
+    def _frames(rng, n=6, h=48, w=64):
+        # genuinely smooth content (low-frequency sinusoids): DCT codecs
+        # keep this near-lossless, so the roundtrip tolerance stays tight
+        del rng
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        fs = []
+        for i in range(n):
+            f = np.empty((h, w, 4), np.uint8)
+            f[..., 0] = (110 + 90 * np.sin((xs + 3 * i) / 17)).astype(np.uint8)
+            f[..., 1] = (120 + 80 * np.cos((ys + 2 * i) / 23)).astype(np.uint8)
+            f[..., 2] = (128 + 60 * np.sin((xs + ys + 4 * i) / 31)
+                         ).astype(np.uint8)
+            f[..., 3] = 255
+            fs.append(f)
+        return fs
+
+    def test_sink_source_roundtrip(self, tmp_path, rng):
+        pytest.importorskip("cv2")
+        from tpufg.io.sinks import VideoFileSink
+        from tpufg.io.sources import VideoFileSource
+
+        path = str(tmp_path / "clip.mp4")
+        frames = self._frames(rng)
+        with VideoFileSink(path, 64, 48, fps=24.0) as sink:
+            for f in frames:
+                sink.write(f)
+        src = VideoFileSource(path)
+        assert src.size == (64, 48)
+        assert abs(src.fps - 24.0) < 0.5
+        assert src.const_alpha is True
+        got = list(src)
+        src.close()
+        assert len(got) == len(frames)
+        for g, f in zip(got, frames):
+            assert g.shape == f.shape and g.dtype == np.uint8
+            assert (g[..., 3] == 255).all()
+            # mp4v is lossy: content should match to codec noise
+            d = np.abs(g[..., :3].astype(np.float32)
+                       - f[..., :3].astype(np.float32)).mean()
+            assert d < 12.0, d
+
+    def test_spec_resolution(self, tmp_path, rng):
+        pytest.importorskip("cv2")
+        from tpufg.io.sinks import VideoFileSink
+        from tpufg.io.sources import VideoFileSource
+
+        path = str(tmp_path / "clip.avi")
+        with VideoFileSink(path, 64, 48, fps=30.0) as sink:
+            for f in self._frames(rng, n=3):
+                sink.write(f)
+        src = open_source(path)
+        assert isinstance(src, VideoFileSource)
+        src.close()
+        src = open_source("video:" + path)
+        assert isinstance(src, VideoFileSource)
+        src.close()
+        assert isinstance(open_sink(str(tmp_path / "o.mp4"), 64, 48),
+                          VideoFileSink)
+
+    def test_missing_file_is_source_error(self):
+        pytest.importorskip("cv2")
+        with pytest.raises(SourceError):
+            open_source(str("/nonexistent/clip.mp4"))
+
+    def test_bad_sink_extension(self, tmp_path):
+        pytest.importorskip("cv2")
+        from tpufg.io.sinks import VideoFileSink
+        with pytest.raises(ValueError):
+            VideoFileSink(str(tmp_path / "clip.webm"), 64, 48)

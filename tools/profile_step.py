@@ -20,7 +20,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(in_w=1920, in_h=1080, out_mult=2, n=24, mode="pyramid", k=2):
+def main(in_w=1920, in_h=1080, out_mult=2, n=24, mode="pyramid", k=2,
+         model_path=None):
     import jax
     import jax.numpy as jnp
 
@@ -32,7 +33,30 @@ def main(in_w=1920, in_h=1080, out_mult=2, n=24, mode="pyramid", k=2):
         output_width=in_w * out_mult, output_height=in_h * out_mult,
         dtype="bf16", motion_mode=mode, fps_multiplier=k,
     ))
-    step = make_interp_step(cfg, wire="i32")  # the production wire
+    model_params = None
+    if mode == "learned":
+        from tpufg.models import rife
+        ckpt = model_path or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "checkpoints", "head64.npz")
+        model_params = rife.load_params(ckpt)
+    step = make_interp_step(cfg, wire="i32",  # the production wire
+                            model_params=model_params, q_feed=True)
+    if model_params is not None:
+        from tpufg.models import rife
+        if rife.is_v2(model_params):
+            # thread the v2 streamed quarter cache like the runner does,
+            # so the profile matches production (each frame down4'd once)
+            from tpufg.engine.pipeline import make_q_init
+            qinit = make_q_init(cfg)
+            qh = {"q": None}
+            raw = step
+
+            def step(p, c):
+                if qh["q"] is None:
+                    qh["q"] = qinit(p)
+                *outs, qh["q"] = raw(p, c, qh["q"])
+                return tuple(outs)
     rng = np.random.default_rng(0)
     base = rng.integers(0, 256, (in_h + 32, in_w + 32, 4), dtype=np.uint8)
 
@@ -135,5 +159,8 @@ if __name__ == "__main__":
     ap.add_argument("--mode", default="pyramid")
     ap.add_argument("-k", type=int, default=2)
     ap.add_argument("-n", type=int, default=24)
+    ap.add_argument("--model-path", default=None,
+                    help="learned-head checkpoint (default: bundled v1)")
     args = ap.parse_args()
-    main(args.in_w, args.in_h, args.out_mult, args.n, args.mode, args.k)
+    main(args.in_w, args.in_h, args.out_mult, args.n, args.mode, args.k,
+         args.model_path)

@@ -271,8 +271,13 @@ def main(argv: Optional[list[str]] = None) -> int:
 
     out_fps = cfg.target_fps * (cfg.fps_multiplier
                                 if cfg.enable_interpolation else 1)
-    sink = open_sink(args.output, cfg.output_width, cfg.output_height,
-                     fps=float(out_fps), y4m_chroma=args.y4m_chroma)
+    try:
+        sink = open_sink(args.output, cfg.output_width, cfg.output_height,
+                         fps=float(out_fps), y4m_chroma=args.y4m_chroma)
+    except (ValueError, OSError) as e:
+        log.error(str(e))
+        source.close()
+        return 1
     if args.preview:
         from tpufg.io.preview import PreviewSink, TeeSink, parse_preview_spec
         try:

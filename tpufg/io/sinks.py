@@ -258,10 +258,58 @@ class PNGDirSink(FrameSink):
         self._i += 1
 
 
+class VideoFileSink(FrameSink):
+    """Compressed video egress via OpenCV/FFmpeg (mp4/avi containers).
+
+    The distribution-friendly counterpart of VideoFileSource: where the
+    reference presents frames live in its SDL window (src/scaler.cpp:
+    536-609), a headless pipeline's shareable artifact is a compressed
+    file.  Encoding runs on the host CPU (wrap in AsyncSink — the engine
+    does — so it overlaps device compute).  Lossy by nature: quality
+    contracts are stated on the y4m/raw sinks; this one is for delivery.
+
+    Codec is chosen by extension: mp4v for .mp4/.m4v, MJPG for .avi
+    (both verified encode+decode in this image's OpenCV build; h264
+    encode is not available here).
+    """
+
+    def __init__(self, path: str, width: int, height: int,
+                 fps: float = 60.0):
+        try:
+            import cv2
+        except ImportError:
+            raise ValueError(
+                f"{path}: video encode needs OpenCV (cv2); use a .y4m "
+                "output instead")
+        ext = os.path.splitext(path)[1].lower()
+        fourcc = {".mp4": "mp4v", ".m4v": "mp4v", ".avi": "MJPG"}.get(ext)
+        if fourcc is None:
+            raise ValueError(f"{path}: unsupported video extension {ext} "
+                             "(use .mp4 or .avi)")
+        self._cv2 = cv2
+        self._wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*fourcc),
+                                   float(fps) if fps and fps > 0 else 30.0,
+                                   (width, height))
+        if not self._wr.isOpened():
+            raise ValueError(f"{path}: OpenCV VideoWriter failed to open "
+                             f"({fourcc}, {width}x{height})")
+
+    def write(self, frame):
+        # RGBA -> BGR (VideoWriter's convention); alpha is not encodable
+        self._wr.write(np.ascontiguousarray(frame[..., 2::-1]))
+
+    def close(self):
+        self._wr.release()
+
+
+#: extensions routed to the OpenCV encoder by open_sink
+VIDEO_SINK_EXTS = (".mp4", ".m4v", ".avi")
+
+
 def open_sink(spec: Optional[str], width: int, height: int,
               fps: float = 60.0, y4m_chroma: str = "444") -> FrameSink:
     """Resolve an --output spec: null/none, ``-`` (y4m to stdout),
-    *.y4m, directory/ (PNGs), raw file."""
+    *.y4m, *.mp4/*.avi (OpenCV encoder), directory/ (PNGs), raw file."""
     if spec is None or spec in ("null", "none"):
         return NullSink()
     if spec == "-":
@@ -270,6 +318,8 @@ def open_sink(spec: Optional[str], width: int, height: int,
         return Y4MSink("-", width, height, fps, chroma=y4m_chroma)
     if spec.endswith(".y4m"):
         return Y4MSink(spec, width, height, fps, chroma=y4m_chroma)
+    if spec.lower().endswith(VIDEO_SINK_EXTS):
+        return VideoFileSink(spec, width, height, fps)
     if spec.endswith("/") or os.path.isdir(spec):
         return PNGDirSink(spec.rstrip("/"))
     return RawVideoSink(spec)

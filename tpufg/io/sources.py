@@ -433,6 +433,79 @@ class FollowStream:
         return f"<follow {self._path}>"
 
 
+class VideoFileSource(FrameSource):
+    """Compressed video files (mp4/avi/mkv/...) decoded via OpenCV/FFmpeg.
+
+    The real-content ingest path: the reference consumes arbitrary live
+    app windows (src/window_capture.cpp:7-568); on a headless TPU host the
+    equivalent arbitrary-real-content input is a video FILE, decoded on
+    the host CPU while the device computes.  Decoded frames are BGR
+    (OpenCV's convention) and are normalized to the canonical RGBA here —
+    the same swizzle-at-ingest rule as the raw BGRA sources.  YUV-coded
+    video carries no alpha, so ``const_alpha`` is True by construction
+    (the engine's alpha-skip search applies).
+
+    Soft dependency: ``cv2`` (present in this image).  When unavailable,
+    raises SourceError naming the gap — every other source still works.
+    """
+
+    const_alpha = True
+
+    def __init__(self, path: str, fps: Optional[float] = None):
+        try:
+            import cv2
+        except ImportError:
+            raise SourceError(
+                f"{path}: video decode needs OpenCV (cv2); install it or "
+                "transcode to .y4m (ffmpeg -i in.mp4 -pix_fmt yuv444p "
+                "out.y4m)")
+        if not os.path.exists(path):
+            raise SourceError(f"{path}: no such file")
+        self._cap = cv2.VideoCapture(path)
+        if not self._cap.isOpened():
+            raise SourceError(f"{path}: OpenCV could not open "
+                              "(unsupported container/codec?)")
+        self._w = int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        self._h = int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        if self._w <= 0 or self._h <= 0:
+            raise SourceError(f"{path}: could not determine frame size")
+        meta_fps = float(self._cap.get(cv2.CAP_PROP_FPS) or 0.0)
+        self._fps = fps if fps else (meta_fps if meta_fps > 0 else None)
+        n = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+        self._n = n if n > 0 else None  # container metadata; may be absent
+
+    @property
+    def size(self):
+        return (self._w, self._h)
+
+    @property
+    def fps(self):
+        return self._fps
+
+    def __len__(self):
+        if self._n is None:
+            raise TypeError("stream length unknown (container metadata)")
+        return self._n
+
+    def __iter__(self):
+        alpha = np.full((self._h, self._w, 1), 255, np.uint8)
+        while True:
+            ok, frame = self._cap.read()
+            if not ok:
+                return
+            # BGR -> RGB + synthesized alpha (one negative-stride view
+            # materialized by the concat — no cv2.cvtColor extra pass)
+            yield np.concatenate([frame[..., 2::-1], alpha], axis=-1)
+
+    def close(self):
+        self._cap.release()
+
+
+#: container extensions routed to the OpenCV decoder by open_source
+VIDEO_EXTS = (".mp4", ".m4v", ".avi", ".mkv", ".mov", ".webm", ".mpg",
+              ".mpeg", ".ts")
+
+
 class SyntheticSource(FrameSource):
     """Procedural moving-pattern frames for bench and demos.
 
@@ -508,12 +581,16 @@ def open_source(spec: str, width: int = 0, height: int = 0,
     - ``synthetic:WxH[:pattern]`` — procedural frames
     - ``-`` — packed RGBA on stdin (needs explicit sizes)
     - ``*.y4m`` — YUV4MPEG2
+    - ``*.mp4`` / ``*.avi`` / ``*.mkv`` / ... (VIDEO_EXTS), or an explicit
+      ``video:path`` — compressed video via the OpenCV/FFmpeg decoder
     - ``follow:path[:idle_timeout_s]`` — LIVE ingest: tail a growing
       y4m or raw file while a producer writes it (the reference's
       continuously-updating-capture analog); ends after idle_timeout
       (default 5 s) without growth, or at a ``path.end`` marker file
     - anything else — packed raw RGBA/BGRA file (needs explicit sizes)
     """
+    if spec.startswith("video:"):
+        return VideoFileSource(spec[len("video:"):])
     if spec.startswith("follow:"):
         rest = spec[len("follow:"):]
         timeout = 5.0
@@ -553,6 +630,8 @@ def open_source(spec: str, width: int = 0, height: int = 0,
         return StdinSource(width, height, channel_order)
     if spec.endswith(".y4m"):
         return Y4MSource(spec)
+    if spec.lower().endswith(VIDEO_EXTS):
+        return VideoFileSource(spec)
     # raw file: prefer the C prefetch ring (background read + convert into
     # page-aligned slots); fall back to the python memmap source when the
     # toolchain/library is unavailable
