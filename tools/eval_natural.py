@@ -65,6 +65,12 @@ def main(argv=None):
                         "checkpoints/head64.npz)")
     p.add_argument("--no-gate", action="store_true",
                    help="skip the bf16-vs-f32 gate section (faster sweeps)")
+    p.add_argument("--codec", default=None, choices=("mp4v", "MJPG", "XVID"),
+                   help="route the rendered sequence through a lossy "
+                        "encode/decode (OpenCV/FFmpeg) before evaluation: "
+                        "the engine then interpolates REAL DECODED VIDEO "
+                        "(codec artifacts included) and is scored against "
+                        "the decoded half-step truth")
     args = p.parse_args(argv)
 
     corpus = NaturalCorpus(args.width, args.height, args.seed)
@@ -76,6 +82,33 @@ def main(argv=None):
         if i < args.pairs:
             truths.append(corpus.frame(i + 0.5, grain_rng=grng,
                                        grain=grain))
+
+    if args.codec:
+        # lossy round-trip of the WHOLE half-step sequence (inputs and
+        # truths alike), so the engine consumes decoder output and the
+        # truth carries the same codec character — the metric then
+        # isolates interpolation error on real decoded content
+        import tempfile
+
+        import cv2
+        seq = [None] * (2 * args.pairs + 1)
+        seq[::2], seq[1::2] = frames, truths
+        ext = "mp4" if args.codec == "mp4v" else "avi"
+        path = tempfile.mktemp(suffix=f".{ext}", prefix="tpufg_eval_")
+        wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*args.codec),
+                             30.0, (args.width, args.height))
+        assert wr.isOpened(), (args.codec, ext)
+        for f in seq:
+            wr.write(np.ascontiguousarray(f[..., 2::-1]))
+        wr.release()
+        from tpufg.io.sources import VideoFileSource
+        src = VideoFileSource(path)
+        dec = list(src)
+        src.close()
+        import os as _os
+        _os.unlink(path)
+        assert len(dec) == len(seq), (len(dec), len(seq))
+        frames, truths = dec[::2], dec[1::2]
 
     modes = {
         "crossfade": dict(motion_mode="none", dtype="bf16"),

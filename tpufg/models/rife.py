@@ -505,6 +505,12 @@ def _head2_raw(params: dict, prev: jax.Array, curr: jax.Array, dtype=F32,
         p4w = bilinear_warp(p4, out0_4[:, 0:2])
         c4w = bilinear_warp(c4, out0_4[:, 2:4])
     r = jnp.concatenate([f4, p4w, c4w, out0_4], axis=1)
+    # NOTE r4: fusing this 3-conv refinement chain into one Pallas kernel
+    # (kernels/conv.py conv3x3_chain) was built and measured — it is
+    # blocked ON CHIP by a deterministic remote-compile-helper crash for
+    # ANY kernel with two dependent 3D-rhs dots (minimal repro in
+    # docs/DESIGN.md 5b r4c), and the compiling per-layer form ties lax
+    # (5.19 vs 4.84 ms standalone, bitwise-equal) — so the lax chain stays.
     r = jax.nn.relu(_conv(r, params["r_in"]["w"], params["r_in"]["b"], 1,
                           dtype))
     r = jax.nn.relu(_conv(r, params["r_body"]["w"], params["r_body"]["b"],
