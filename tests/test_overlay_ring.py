@@ -151,3 +151,34 @@ class TestLearnedEngineMode:
         b = jnp.asarray(rng.integers(0, 256, (48, 64, 4), dtype=np.uint8))
         out_i, out_c = step(a, b)
         assert out_i.shape == (48, 64, 4)
+
+    def test_v3_qfeed_stream_bitwise(self, rng):
+        """v3 streaming cache (quarter frame + per-frame encoder
+        features threaded between pairs) is bitwise-identical to the
+        plain 2-arg step — each cached piece is the same function on the
+        same frame.  Identity size so donation of prev and the seed
+        tuple is exercised."""
+        from tpufg.config import EngineConfig, resolve_sizes
+        from tpufg.engine.pipeline import make_interp_step, make_q_init
+        from tpufg.models import rife
+
+        params = rife.init_params3(jax.random.PRNGKey(2), hidden=16)
+        cfg = resolve_sizes(EngineConfig(
+            input_width=64, input_height=48, output_width=64,
+            output_height=48, dtype="f32", motion_mode="learned"))
+        plain = make_interp_step(cfg, model_params=params)
+        qstep = make_interp_step(cfg, model_params=params, q_feed=True)
+        frames = [rng.integers(0, 256, (48, 64, 4), dtype=np.uint8)
+                  for _ in range(4)]
+        fa = [jnp.asarray(f) for f in frames]
+        fb = [jnp.asarray(f) for f in frames]
+        q = make_q_init(cfg, model_params=params)(fb[0])
+        q4, f4 = q
+        assert q4.shape == (4, 48 // 4, 64 // 4)
+        assert f4.shape == (8, 48 // 4, 64 // 4)  # hidden//2 features
+        for i in range(3):
+            ref = plain(fa[i], fa[i + 1])
+            *outs, q = qstep(fb[i], fb[i + 1], q)
+            assert len(outs) == len(ref)
+            for r, o in zip(ref, outs):
+                assert (np.asarray(r) == np.asarray(o)).all()

@@ -315,3 +315,124 @@ class TestTrainCLI:
         from tpufg.models import train
         rc = train.main([str(tmp_path / "missing.y4m"), "--steps", "2"])
         assert rc == 1
+
+
+class TestIFNet3:
+    """v3: the streaming two-stage head (siamese cached per-frame
+    encoder, 13-ch stage-2, 8-px coarse warp) — 32.6 ms/pair = 61 output
+    fps at 4K on chip (tools/v2_speed_ladder.py), the config-5 rate
+    target at the hardest cell."""
+
+    def test_interpolate_fast_dispatches_v3(self, rng):
+        params = rife.init_params3(jax.random.PRNGKey(1), hidden=32)
+        assert rife.is_v3(params) and not rife.is_v2(params)
+        prev = jnp.asarray(rng.random((4, 32, 64)).astype(np.float32))
+        curr = jnp.asarray(rng.random((4, 32, 64)).astype(np.float32))
+        out = rife.interpolate_fast(params, prev, curr, 0.5)
+        assert out.shape == prev.shape
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_feature_cache_bitwise(self, rng):
+        """Precomputed per-frame state (quarter frame + encoder
+        features) is bitwise-identical to inline computation — the
+        streaming engine's cache contract."""
+        params = rife.init_params3(jax.random.PRNGKey(3), hidden=32)
+        prev = jnp.asarray(rng.random((4, 32, 64)).astype(np.float32))
+        curr = jnp.asarray(rng.random((4, 32, 64)).astype(np.float32))
+        inline = rife.interpolate_fast3(params, prev, curr, 0.5)
+        p4 = rife._down4_mean(prev[None])[0]
+        c4 = rife._down4_mean(curr[None])[0]
+        f4p = rife.encode3(params, prev[None], dtype=jnp.bfloat16,
+                           fast=True)[0]
+        f4c = rife.encode3(params, curr[None], dtype=jnp.bfloat16,
+                           fast=True)[0]
+        cached = rife.interpolate_fast3(params, prev, curr, 0.5, p4=p4,
+                                        c4=c4, f4p=f4p, f4c=f4c)
+        np.testing.assert_array_equal(np.asarray(inline),
+                                      np.asarray(cached))
+
+    def test_coarse_warp8_odd_quarter_rows(self, rng):
+        """4K-class frames have 1/4-res heights that are NOT 8-multiples
+        (2160 -> 540): the 8-px coarse warp pads frame rows and the flow
+        lattice to the block grid and crops back."""
+        params = rife.init_params3(jax.random.PRNGKey(4), hidden=32)
+        # H=80 -> quarter rows 20, not a multiple of 8
+        prev = jnp.asarray(rng.random((4, 80, 128)).astype(np.float32))
+        curr = jnp.asarray(rng.random((4, 80, 128)).astype(np.float32))
+        out = rife.interpolate_fast(params, prev, curr, 0.5)
+        assert out.shape == prev.shape
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_training3_reduces_loss(self, rng):
+        # NOT the crossfade target: v3's zero-init flow heads predict
+        # exactly 0.5*(prev+curr) at step 0, which would make the first
+        # loss ~1e-6 and the "reduces" assertion vacuous-backwards
+        init_state, step, _ = rife.make_train_step(3e-3, arch="v3")
+        params, opt = init_state(jax.random.PRNGKey(0), 16)
+        prev = jnp.asarray(rng.random((2, 4, 32, 64)).astype(np.float32))
+        curr = jnp.asarray(np.roll(np.asarray(prev), 2, axis=3))
+        target = jnp.asarray(np.roll(np.asarray(prev), 1, axis=3))
+        losses = []
+        for _ in range(10):
+            params, opt, loss = step(params, opt, prev, curr, target)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+
+    def test_training3_flow_supervised(self, rng):
+        init_state, step, _ = rife.make_train_step(1e-3, arch="v3",
+                                                   flow_weight=0.1)
+        params, opt = init_state(jax.random.PRNGKey(0), 16)
+        prev = jnp.asarray(rng.random((1, 4, 32, 64)).astype(np.float32))
+        curr = jnp.asarray(rng.random((1, 4, 32, 64)).astype(np.float32))
+        target = 0.5 * (prev + curr)
+        sup = {"flow4": jnp.zeros((1, 4, 8, 16)),
+               "vp4": jnp.ones((1, 1, 8, 16)),
+               "vc4": jnp.ones((1, 1, 8, 16)),
+               "flow8": jnp.zeros((1, 4, 4, 8)),
+               "vp8": jnp.ones((1, 1, 4, 8)),
+               "vc8": jnp.ones((1, 1, 4, 8))}
+        params, opt, (loss, photo, flow) = step(params, opt, prev, curr,
+                                                target, sup)
+        assert np.isfinite(float(loss)) and np.isfinite(float(flow))
+
+    def test_checkpoint_roundtrip_infers_v3(self, tmp_path):
+        from tpufg.utils.checkpoint import save_pytree
+        params = rife.init_params3(jax.random.PRNGKey(2), hidden=32)
+        p = str(tmp_path / "v3.npz")
+        save_pytree(p, params)
+        loaded = rife.load_params(p)
+        assert rife.is_v3(loaded) and not rife.is_v2(loaded)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)), params, loaded)
+
+    def test_tp_sharded_training3_step(self, rng):
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array(devs[:8]).reshape(4, 2),
+                    axis_names=("dp", "tp"))
+        init_state, train_step, _ = rife.make_train_step(1e-4, mesh=mesh,
+                                                         arch="v3")
+        with mesh:
+            params, opt_state = init_state(jax.random.PRNGKey(0), 32)
+            prev = jnp.asarray(rng.random((8, 4, 32, 64)).astype(np.float32))
+            curr = jnp.asarray(rng.random((8, 4, 32, 64)).astype(np.float32))
+            target = 0.5 * (prev + curr)
+            params, opt_state, loss = train_step(params, opt_state, prev,
+                                                 curr, target)
+        assert np.isfinite(float(loss))
+
+    def test_engine_runs_v3_head(self, rng, tmp_path):
+        from tpufg.config import EngineConfig, resolve_sizes
+        from tpufg.engine.pipeline import make_interp_step
+        params = rife.init_params3(jax.random.PRNGKey(5), hidden=16)
+        cfg = resolve_sizes(EngineConfig(
+            input_width=64, input_height=48, output_width=128,
+            output_height=96, dtype="f32", motion_mode="learned"))
+        step = make_interp_step(cfg, model_params=params)
+        a = rng.integers(0, 256, (48, 64, 4), dtype=np.uint8)
+        b = rng.integers(0, 256, (48, 64, 4), dtype=np.uint8)
+        out_i, out_c = step(jnp.asarray(a), jnp.asarray(b))
+        assert out_i.shape == (96, 128, 4)

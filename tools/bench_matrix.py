@@ -60,13 +60,14 @@ def _run_config(tag, cfg_kw, n, steps_kind, model_params=None,
                                     q_feed=True)
         outs_per_step = max(2, int(cfg.fps_multiplier))
         from tpufg.models import rife
-        if model_params is not None and rife.is_v2(model_params):
+        if model_params is not None and (rife.is_v2(model_params)
+                                         or rife.is_v3(model_params)):
             # the bench pairs are a sliding stream (pair i's curr is
             # pair i+1's prev), so thread the v2 quarter cache exactly
             # like the runner does — this times the production
             # streaming behavior (each frame downsampled once)
             from tpufg.engine.pipeline import make_q_init
-            qinit = make_q_init(cfg)
+            qinit = make_q_init(cfg, model_params=model_params)
             qh = {"q": None}
 
             def step(p, c):
@@ -151,7 +152,8 @@ def main():
             "checkpoints", "head64.npz")
         if os.path.exists(ckpt):
             params = rife.load_params(ckpt)
-            arch = "v2" if rife.is_v2(params) else "v1"
+            arch = ("v3" if rife.is_v3(params)
+                    else "v2" if rife.is_v2(params) else "v1")
             tag5b = f"5b: 4K→4K learned head (bundled {arch} checkpoint)"
         else:
             params = rife.init_params(jax.random.PRNGKey(0))

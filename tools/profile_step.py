@@ -44,11 +44,11 @@ def main(in_w=1920, in_h=1080, out_mult=2, n=24, mode="pyramid", k=2,
                             model_params=model_params, q_feed=True)
     if model_params is not None:
         from tpufg.models import rife
-        if rife.is_v2(model_params):
+        if rife.is_v2(model_params) or rife.is_v3(model_params):
             # thread the v2 streamed quarter cache like the runner does,
             # so the profile matches production (each frame down4'd once)
             from tpufg.engine.pipeline import make_q_init
-            qinit = make_q_init(cfg)
+            qinit = make_q_init(cfg, model_params=model_params)
             qh = {"q": None}
             raw = step
 

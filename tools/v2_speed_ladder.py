@@ -196,8 +196,8 @@ def time_step(tag, model_params, n, w=3840, h=2160):
                       as_i32(base[j + 1:h + 1 + j, 2 * j + 2:w + 2 + 2 * j])))
 
     from tpufg.models import rife
-    if rife.is_v2(model_params):
-        qinit = make_q_init(cfg)
+    if rife.is_v2(model_params) or rife.is_v3(model_params):
+        qinit = make_q_init(cfg, model_params=model_params)
         qh = {"q": None}
 
         def step(p, c):

@@ -199,6 +199,30 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
         hp, wp = round_up(h, 16), round_up(w, 16)
         pp = _edge_pad_chw(p.astype(F32), hp, wp)
         cp = _edge_pad_chw(c.astype(F32), hp, wp)
+        if rife.is_v3(model_params):
+            # v3 streaming head: curr's quarter frame AND per-frame
+            # encoder features are computed ONCE here; prev's come from
+            # the threaded stream cache (q_seed = last step's q_out —
+            # same functions on the same frame, identical by
+            # construction).  bf16 matches interpolate_fast3's internal
+            # compute dtype so the cache is exactly what the inline
+            # path would compute.
+            import jax.numpy as _jnp
+            c4 = rife._down4_mean(cp[None])[0]
+            f4c = rife.encode3(model_params, cp[None],
+                               dtype=_jnp.bfloat16, fast=True)[0]
+            if q_seed is not None:
+                p4, f4p = q_seed
+            else:
+                p4 = rife._down4_mean(pp[None])[0]
+                f4p = rife.encode3(model_params, pp[None],
+                                   dtype=_jnp.bfloat16, fast=True)[0]
+            for tf in factors:
+                interps.append(cut_fallback(
+                    rife.interpolate_fast3(model_params, pp, cp, tf,
+                                           p4=p4, c4=c4, f4p=f4p,
+                                           f4c=f4c)[:, :h, :w], tf))
+            return (interps, (c4, f4c)) if return_q else interps
         if rife.is_v2(model_params):
             # v2 stage-2 quarter frames: curr's is computed ONCE here
             # (~4.5 ms per 4K frame); prev's comes from the threaded
@@ -405,7 +429,7 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
     if q_feed and mode == "learned" and precision != "exact" \
             and model_params is not None:
         from tpufg.models import rife as _rife
-        qfeed = _rife.is_v2(model_params)
+        qfeed = _rife.is_v2(model_params) or _rife.is_v3(model_params)
     donate_idx = ((0,) if donate else ()) \
         + ((2,) if temporal or qfeed else ())
     jit_step = (functools.partial(jax.jit, donate_argnums=donate_idx)
@@ -506,20 +530,30 @@ def make_interp_step(cfg: EngineConfig, precision: str = "fast",
     return step
 
 
-def make_q_init(cfg: EngineConfig, interpret: bool | None = None):
-    """Jit'd frame -> v2 stage-2 quarter frame, replicating the padded
-    learned-path downsample EXACTLY (frames_to_planar -> edge pad to the
+def make_q_init(cfg: EngineConfig, interpret: bool | None = None,
+                model_params=None):
+    """Jit'd frame -> the learned head's stream-cache seed, replicating
+    the padded learned path EXACTLY (frames_to_planar -> edge pad to the
     16-px lattice -> rife._down4_mean), so seeding a q_feed step with it
-    is bitwise-identical to the step computing prev's quarter itself.
-    Compiled once per stream (tiny program — one box reduce)."""
-    from tpufg.models.rife import _down4_mean
+    is identical to the step computing prev's state itself.  For the v3
+    streaming head (``model_params`` given and is_v3) the seed is the
+    (quarter frame, per-frame encoder features) pair; otherwise the v2
+    quarter frame alone.  Compiled once per stream."""
+    from tpufg.models import rife
     hp = round_up(cfg.input_height, 16)
     wp = round_up(cfg.input_width, 16)
+    v3 = model_params is not None and rife.is_v3(model_params)
 
     @jax.jit
     def q_init(frame):
         p = frames_to_planar(frame, F32)
-        return _down4_mean(_edge_pad_chw(p, hp, wp)[None])[0]
+        pp = _edge_pad_chw(p, hp, wp)[None]
+        q4 = rife._down4_mean(pp)[0]
+        if not v3:
+            return q4
+        import jax.numpy as _jnp
+        return (q4, rife.encode3(model_params, pp, dtype=_jnp.bfloat16,
+                                 fast=True)[0])
 
     return q_init
 

@@ -107,7 +107,8 @@ class StreamingEngine:
                            and self.model_params is not None)
             if self._qfeed:
                 from tpufg.models import rife
-                self._qfeed = rife.is_v2(self.model_params)
+                self._qfeed = (rife.is_v2(self.model_params)
+                               or rife.is_v3(self.model_params))
             self._q_init = None
         self._step1 = (make_exact_scale_step(cfg)
                        if self.precision == "exact"
@@ -231,7 +232,8 @@ class StreamingEngine:
                             if self._q_init is None:
                                 from tpufg.engine.pipeline import \
                                     make_q_init
-                                self._q_init = make_q_init(cfg)
+                                self._q_init = make_q_init(
+                                    cfg, model_params=self.model_params)
                             q_state = self._q_init(prev_dev)
                         *outs, q_state = self._step2(
                             prev_dev, dev, q_state)

@@ -156,6 +156,23 @@ def _trunk(params: dict, prev: jax.Array, curr: jax.Array, dtype=F32,
             jax.nn.sigmoid(full[:, 4:5]))
 
 
+@functools.lru_cache(maxsize=16)
+def _band_mat(n_out: int, n_in: int, scale: int = SCALE) -> np.ndarray:
+    """Bilinear-upsample band matrix [n_out, n_in] replicating
+    jax.image.resize's half-sample-centered 'bilinear' weights (out x
+    reads in coord (x+0.5)/scale - 0.5, clamped 2-tap lerp)."""
+    R = np.zeros((n_out, n_in), np.float32)
+    for x in range(n_out):
+        c = (x + 0.5) / scale - 0.5
+        i0 = int(np.floor(c))
+        f = c - i0
+        i0c = min(max(i0, 0), n_in - 1)
+        i1c = min(max(i0 + 1, 0), n_in - 1)
+        R[x, i0c] += 1.0 - f
+        R[x, i1c] += f
+    return R
+
+
 def _st_round(x: jax.Array) -> jax.Array:
     """Straight-through rounding: forward = round(x), gradient = identity
     (the QAT estimator) — lets training run the integer flows inference
@@ -296,6 +313,9 @@ def interpolate_fast(params: dict, prev: jax.Array, curr: jax.Array,
       16-px block subsample itself costs +0.01 dB).  The fractional warp
       is speed-neutral (memory-bound; the lerp is hidden).
     """
+    if is_v3(params):
+        return interpolate_fast3(params, prev, curr, t, grid, max_flow,
+                                 dtype, integer_flow)
     if is_v2(params):
         return interpolate_fast2(params, prev, curr, t, grid, max_flow,
                                  dtype, integer_flow)
@@ -333,10 +353,21 @@ def _fast_tail(out, prev, curr, t, grid, max_flow, dtype, integer_flow):
            + ry[:, :, 2::4][:, :, :nw] * F32(0.625))
     fp = lat[0:2] * F32(SCALE)
     fc = lat[2:4] * F32(SCALE)
-    mask_logit = jax.image.resize(out[4:5][None],
-                                  (1, 1, hq * SCALE, wq * SCALE),
-                                  "bilinear")
-    mask = jax.nn.sigmoid(mask_logit)[0]                  # [1, H, W]
+    # mask upsample as a banded-MXU matmul pair instead of
+    # jax.image.resize: a separable bilinear upsample IS two banded
+    # matmuls (the lanczos-kernel idiom), and resize's gather-style
+    # lowering measured 1.64 vs 1.14 ms at 4K on chip.  Same math to f32
+    # rounding (5e-7 on N(0,1) logits); the bf16 production path rounds
+    # MXU operands (~1e-2 on a sigmoid logit — metric-immaterial)
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    R = jnp.asarray(_band_mat(hq * SCALE, hq))
+    C = jnp.asarray(_band_mat(wq * SCALE, wq))
+    t_m = jnp.einsum("rh,hw->rw", R, out[4], precision=prec,
+                     preferred_element_type=F32)
+    mask_logit = jnp.einsum("rw,xw->rx", t_m, C, precision=prec,
+                            preferred_element_type=F32)
+    mask = jax.nn.sigmoid(mask_logit)[None]               # [1, H, W]
     if integer_flow:
         fp = jnp.round(fp)
         fc = jnp.round(fc)
@@ -399,7 +430,9 @@ def init_params2(key: jax.Array, hidden: int = HIDDEN) -> dict:
 
 
 def is_v2(params: dict) -> bool:
-    return "enc3" in params
+    # two-stage with the pair-joint (8-channel) encoder; the streaming
+    # v3 shares the layer names but encodes per-frame (4 channels)
+    return "enc3" in params and params["enc1"]["w"].shape[1] == 8
 
 
 def _down2_mean(x: jax.Array) -> jax.Array:
@@ -561,6 +594,249 @@ def loss_fn2(params, prev, curr, target, t: float = 0.5,
 
 
 # ---------------------------------------------------------------------------
+# v3: streaming two-stage IFNet (round 4, late).  Same coarse-to-fine
+# scheme as v2 with three measured changes that take the 4K->4K inference
+# step from 36.7 to 32.6 ms/pair (61 output fps — the config-5 rate
+# target at the hardest cell; tools/v2_speed_ladder.py, on-chip):
+#
+#   - SIAMESE per-frame encoder (enc1 4ch->h/2 @1/2, enc2 h/2->h/2 @1/4):
+#     the streaming engine threads curr's features between steps exactly
+#     like the v2 quarter cache, so each frame is encoded ONCE per stream
+#     instead of once per pair — the TPU-first answer to a per-pair
+#     pair-joint encoder (measured −1.6 ms/pair).
+#   - stage 2 consumes [warped quarter frames, coarse flow, mask] only
+#     (13 ch — vanilla RIFE IFBlock inputs) instead of 77 with pair
+#     features (−1.5 ms: the r_in conv is the fattest in the trunk).
+#   - the coarse warp runs at 8-px blocks on the quarter frame (32-px
+#     full-res granularity; stage 2's job is refining it anyway).
+#
+# Stage 1 is unchanged (coarse flow at 1/8 from the concatenated
+# per-frame features); the inference tail is v1/v2's (fractional flows).
+# ---------------------------------------------------------------------------
+
+
+#: which v3 stage-2 layers (r_in, r_body, r_head) run the per-layer
+#: Pallas conv on the fast path.  Pallas wins STANDALONE on every layer
+#: (r_in 2.23 vs 3.24 ms, r_body 3.12 vs 3.75, r_head 2.14 vs 2.78 at
+#: 4K) yet every substitution LOSES in the engine step (all-lax 33.87
+#: ms/pair vs 35.16/37.99/34.56 for r_in/r_in+head/all-Pallas): the
+#: custom-call boundary defeats XLA's cross-op overlap — the enc2
+#: lesson re-measured for stride-1.  The fully-fused 3-layer kernel
+#: that WOULD win is toolchain-blocked (docs/DESIGN.md 5b r4c).
+V3_RCONV_PALLAS = (False, False, False)
+
+
+def init_params3(key: jax.Array, hidden: int = HIDDEN) -> dict:
+    """Streaming two-stage parameters; same {name: {w, b}} layout."""
+    def he(k, shape):
+        fan_in = int(np.prod(shape[1:]))
+        return jax.random.normal(k, shape, F32) * np.sqrt(2.0 / fan_in)
+
+    ks = jax.random.split(key, 8)
+    h = hidden
+    return {
+        # per-frame encoder (4 input ch): 1/2 then 1/4
+        "enc1": {"w": he(ks[0], (h // 2, 4, 3, 3)),
+                 "b": jnp.zeros((h // 2,), F32)},
+        "enc2": {"w": he(ks[1], (h // 2, h // 2, 3, 3)),
+                 "b": jnp.zeros((h // 2,), F32)},
+        # stage 1 (coarse, 1/8): input = concat of both frames' features
+        "enc3": {"w": he(ks[2], (h, h, 3, 3)), "b": jnp.zeros((h,), F32)},
+        "c_body": {"w": he(ks[3], (h, h, 3, 3)), "b": jnp.zeros((h,), F32)},
+        "c_head": {"w": jnp.zeros((5, h, 3, 3), F32),
+                   "b": jnp.zeros((5,), F32)},
+        # stage 2 (refine, 1/4): input = warped p4/c4 (8) + coarse flow
+        # (4) + coarse mask logit (1) — the vanilla RIFE IFBlock feed
+        "r_in": {"w": he(ks[5], (h, 13, 3, 3)), "b": jnp.zeros((h,), F32)},
+        "r_body": {"w": he(ks[6], (h, h, 3, 3)), "b": jnp.zeros((h,), F32)},
+        "r_head": {"w": jnp.zeros((5, h, 3, 3), F32),
+                   "b": jnp.zeros((5,), F32)},
+    }
+
+
+def is_v3(params: dict) -> bool:
+    # v3 shares v2's layer names; the per-frame encoder's 4 input
+    # channels (vs the pair-joint 8) is the discriminator
+    return "enc3" in params and params["enc1"]["w"].shape[1] == 4
+
+
+def encode3(params: dict, frame: jax.Array, dtype=F32,
+            fast: bool = False) -> jax.Array:
+    """Per-frame feature encoder: [B, 4, H, W] -> [B, h/2, H/4, W/4].
+    The streaming engine calls this once per FRAME and threads the
+    result between steps (prev's features == last step's curr's)."""
+    if fast and frame.shape[0] == 1:
+        from tpufg.kernels.conv import conv3x3_s2
+        h1 = jax.nn.relu(conv3x3_s2(frame[0].astype(F32),
+                                    params["enc1"]["w"],
+                                    params["enc1"]["b"],
+                                    compute_dtype=dtype)[None])
+    else:
+        h1 = jax.nn.relu(_conv(frame.astype(F32), params["enc1"]["w"],
+                               params["enc1"]["b"], 2, dtype))
+    return jax.nn.relu(_conv(h1, params["enc2"]["w"], params["enc2"]["b"],
+                             2, dtype))
+
+
+def _coarse_warp8(out0_4, p4, c4, dtype):
+    """Inference coarse warp at 8-px blocks on the quarter frames
+    (integer flows, clamp +-4 via the warp kernel).  1/4-res heights are
+    not always 8-multiples (4K -> 540): pad frame rows and the flow
+    lattice to the block grid, crop after."""
+    from tpufg.kernels.warp_matmul import warp_blend_matmul
+    lat = out0_4[0, :, 4::8, 4::8]
+    fp4 = jnp.round(lat[0:2])
+    fc4 = jnp.round(lat[2:4])
+    hq = p4.shape[2]
+    hpad = (-hq) % 8
+    p4b, c4b = p4, c4
+    if hpad:
+        p4b = jnp.pad(p4, ((0, 0), (0, 0), (0, hpad), (0, 0)), mode="edge")
+        c4b = jnp.pad(c4, ((0, 0), (0, 0), (0, hpad), (0, 0)), mode="edge")
+    rpad = (hq + hpad) // 8 - fp4.shape[1]
+    if rpad:
+        fp4 = jnp.pad(fp4, ((0, 0), (0, rpad), (0, 0)), mode="edge")
+        fc4 = jnp.pad(fc4, ((0, 0), (0, rpad), (0, 0)), mode="edge")
+    kw = dict(single=True, block=8, search_radius=4, dtype=dtype,
+              integer_offsets=True)
+    p4w = warp_blend_matmul(p4b[0], p4b[0], fp4, **kw)[None, :, :hq]
+    c4w = warp_blend_matmul(c4b[0], c4b[0], fc4, **kw)[None, :, :hq]
+    return p4w, c4w
+
+
+def _head3_raw(params: dict, prev: jax.Array, curr: jax.Array, dtype=F32,
+               fast: bool = False, p4=None, c4=None, f4p=None, f4c=None):
+    """v3 trunk: frame pair -> (refined head output [B, 5, H/4, W/4],
+    coarse stage-1 output [B, 5, H/8, W/8]).
+
+    ``p4``/``c4``: precomputed quarter frames; ``f4p``/``f4c``:
+    precomputed per-frame encoder features — the engine threads BOTH for
+    prev (each frame is downsampled and encoded once per stream)."""
+    if f4p is None:
+        f4p = encode3(params, prev, dtype, fast)
+    if f4c is None:
+        f4c = encode3(params, curr, dtype, fast)
+    f4 = jnp.concatenate([f4p, f4c], axis=1)
+    f8 = jax.nn.relu(_conv(f4, params["enc3"]["w"], params["enc3"]["b"], 2,
+                           dtype))
+    g = jax.nn.relu(_conv(f8, params["c_body"]["w"], params["c_body"]["b"],
+                          1, dtype))
+    out0 = _conv(g, params["c_head"]["w"], params["c_head"]["b"])
+    out0_4 = _up2(out0)
+    if p4 is None:
+        p4 = _down4_mean(prev.astype(F32))
+    if c4 is None:
+        c4 = _down4_mean(curr.astype(F32))
+    if fast:
+        p4w, c4w = _coarse_warp8(out0_4, p4, c4, dtype)
+    else:
+        p4w = bilinear_warp(p4, out0_4[:, 0:2])
+        c4w = bilinear_warp(c4, out0_4[:, 2:4])
+    r = jnp.concatenate([p4w, c4w, out0_4], axis=1)
+    if fast and r.shape[0] == 1:
+        # per-layer Pallas convs where measured faster IN CONTEXT (the
+        # engine 5b number, not standalone — see V3_RCONV_PALLAS)
+        from tpufg.kernels.conv import conv3x3_chain
+        a = r[0]
+        for i, (nm, do_relu) in enumerate(
+                (("r_in", True), ("r_body", True), ("r_head", False))):
+            if V3_RCONV_PALLAS[i]:
+                a = conv3x3_chain(a, (params[nm]["w"],),
+                                  (params[nm]["b"],), (do_relu,),
+                                  compute_dtype=dtype)
+            else:
+                a = _conv(a[None], params[nm]["w"], params[nm]["b"], 1,
+                          dtype)[0]
+                if do_relu:
+                    a = jax.nn.relu(a)
+        return out0_4 + a[None], out0
+    r = jax.nn.relu(_conv(r, params["r_in"]["w"], params["r_in"]["b"], 1,
+                          dtype))
+    r = jax.nn.relu(_conv(r, params["r_body"]["w"], params["r_body"]["b"],
+                          1, dtype))
+    res = _conv(r, params["r_head"]["w"], params["r_head"]["b"])
+    return out0_4 + res, out0
+
+
+def loss_fn3_sup(params, prev, curr, target, sup, t: float = 0.5,
+                 aux_weight: float = 0.3, flow_weight: float = 0.1,
+                 mask_weight: float = 0.02):
+    """v3 photometric (+1/8 aux) + analytic-flow supervision — the v2f
+    recipe (loss_fn2_sup) on the v3 trunk."""
+    out1, out0 = _head3_raw(params, prev, curr)
+    pred = _smooth_tail(out1, prev, curr, t)
+    p8 = _down2_mean(_down2_mean(_down2_mean(prev.astype(F32))))
+    c8 = _down2_mean(_down2_mean(_down2_mean(curr.astype(F32))))
+    pred8 = _fuse(bilinear_warp(p8, out0[:, 0:2]),
+                  bilinear_warp(c8, out0[:, 2:4]),
+                  jax.nn.sigmoid(out0[:, 4:5]), t)
+    t8 = _down2_mean(_down2_mean(_down2_mean(target.astype(F32))))
+    photo = (jnp.mean(jnp.abs(pred - target.astype(F32)))
+             + F32(aux_weight) * jnp.mean(jnp.abs(pred8 - t8)))
+    f1, m1 = _flow_sup_terms(out1, sup["flow4"], sup["vp4"], sup["vc4"])
+    f0, m0 = _flow_sup_terms(out0, sup["flow8"], sup["vp8"], sup["vc8"])
+    l_flow = f1 + F32(aux_weight) * f0
+    l_mask = m1 + F32(aux_weight) * m0
+    return (photo + F32(flow_weight) * l_flow
+            + F32(mask_weight) * l_mask), (photo, l_flow)
+
+
+def loss_fn3(params, prev, curr, target, t: float = 0.5,
+             aux_weight: float = 0.3, ft: bool = False):
+    """v3 photometric loss (smooth tail + 1/8 aux); ``ft`` runs the
+    fractional inference-tail replica like loss_fn2."""
+    out1, out0 = _head3_raw(params, prev, curr)
+    if ft:
+        pred = _ft_tail(out1, prev, curr, t, integer_flow=False)
+    else:
+        pred = _smooth_tail(out1, prev, curr, t)
+    p8 = _down2_mean(_down2_mean(_down2_mean(prev.astype(F32))))
+    c8 = _down2_mean(_down2_mean(_down2_mean(curr.astype(F32))))
+    pred8 = _fuse(bilinear_warp(p8, out0[:, 0:2]),
+                  bilinear_warp(c8, out0[:, 2:4]),
+                  jax.nn.sigmoid(out0[:, 4:5]), t)
+    t8 = _down2_mean(_down2_mean(_down2_mean(target.astype(F32))))
+    return (jnp.mean(jnp.abs(pred - target.astype(F32)))
+            + F32(aux_weight) * jnp.mean(jnp.abs(pred8 - t8)))
+
+
+def interpolate_fast3(params: dict, prev: jax.Array, curr: jax.Array,
+                      t: float = 0.5, grid: int = 16,
+                      max_flow: int = 8, dtype=jnp.bfloat16,
+                      integer_flow: bool | None = None,
+                      p4=None, c4=None, f4p=None, f4c=None) -> jax.Array:
+    """v3 inference: streaming trunk + the v1/v2 tail (fractional flows
+    by default, as v2 — the two-stage head learns real sub-pixel flows).
+
+    ``p4``/``c4``/``f4p``/``f4c``: the engine's per-frame stream cache
+    ([C, H/4, W/4] quarter frame and [h/2, H/4, W/4] features)."""
+    if integer_flow is None:
+        integer_flow = False
+    out1, _ = _head3_raw(params, prev[None], curr[None], dtype=dtype,
+                         fast=True,
+                         p4=None if p4 is None else p4[None],
+                         c4=None if c4 is None else c4[None],
+                         f4p=None if f4p is None else f4p[None],
+                         f4c=None if f4c is None else f4c[None])
+    return _fast_tail(out1[0], prev, curr, t, grid, max_flow, dtype,
+                      integer_flow)
+
+
+def param_shardings3(mesh: Mesh) -> dict:
+    """v3 tensor-parallel layout (same rule as v1/v2)."""
+    def ns(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    tp_w = {"w": ns("tp", None, None, None), "b": ns("tp")}
+    return {
+        "enc1": tp_w, "enc2": tp_w, "enc3": tp_w,
+        "c_body": tp_w, "r_in": tp_w, "r_body": tp_w,
+        "c_head": {"w": ns(None, "tp", None, None), "b": ns(None)},
+        "r_head": {"w": ns(None, "tp", None, None), "b": ns(None)},
+    }
+
+
+# ---------------------------------------------------------------------------
 # Analytic supervision (round 4): the procedural corpus knows the exact
 # per-pixel flow between any two times of a shot (every layer is a closed-
 # form rigid motion — tpufg/data/corpus.py), so the trainer can supervise
@@ -689,8 +965,15 @@ def load_params(path: str) -> dict:
 
     data = np2.load(path)
     n_leaves = sum(1 for k in data.files if k.startswith("leaf_"))
-    hidden = int(data["leaf_0"].shape[0])  # v1 body1.b / v2 c_body.b
-    init = init_params2 if n_leaves == 16 else init_params
+    hidden = int(data["leaf_0"].shape[0])  # v1 body1.b / v2+v3 c_body.b
+    if n_leaves == 16:
+        # v2 and v3 share the 8-layer layout; sorted-key leaf 5 is
+        # enc1.w, whose input-channel count discriminates (8 pair-joint
+        # vs 4 per-frame)
+        init = (init_params3 if data["leaf_5"].shape[1] == 4
+                else init_params2)
+    else:
+        init = init_params
     like = init(jax.random.PRNGKey(0), hidden)
     return load_pytree(path, like)
 
@@ -747,28 +1030,33 @@ def make_train_step(
     becomes (total, photo, flow).  ``mask_weight`` defaults to
     flow_weight / 5.  Mutually exclusive with ``ft``.
     """
-    if arch not in ("v1", "v2"):
-        raise ValueError(f"arch must be v1 or v2, got {arch!r}")
-    v2 = arch == "v2"
+    if arch not in ("v1", "v2", "v3"):
+        raise ValueError(f"arch must be v1, v2 or v3, got {arch!r}")
     sup = flow_weight > 0.0
     if sup and ft:
         raise ValueError("flow supervision and --ft are mutually exclusive "
                          "(supervision trains the smooth tail)")
+    lf_sup = {"v1": loss_fn_sup, "v2": loss_fn2_sup,
+              "v3": loss_fn3_sup}[arch]
+    lf_photo = {"v1": loss_fn, "v2": loss_fn2, "v3": loss_fn3}[arch]
     if sup:
         mw = flow_weight / 5.0 if mask_weight is None else mask_weight
-        lf = functools.partial(loss_fn2_sup if v2 else loss_fn_sup,
-                               flow_weight=flow_weight, mask_weight=mw)
+        lf = functools.partial(lf_sup, flow_weight=flow_weight,
+                               mask_weight=mw)
     elif ft:
-        lf = (functools.partial(loss_fn2, ft=True) if v2
-              else functools.partial(loss_fn, ft=True))
+        lf = functools.partial(lf_photo, ft=True)
     else:
-        lf = loss_fn2 if v2 else loss_fn
+        lf = lf_photo
     opt = optax.adam(learning_rate)
+    init_p = {"v1": init_params, "v2": init_params2,
+              "v3": init_params3}[arch]
+    shard_p = {"v1": param_shardings, "v2": param_shardings2,
+               "v3": param_shardings3}[arch]
 
     def init_state(key, hidden: int = HIDDEN):
-        params = (init_params2 if v2 else init_params)(key, hidden)
+        params = init_p(key, hidden)
         if mesh is not None:
-            shardings = (param_shardings2 if v2 else param_shardings)(mesh)
+            shardings = shard_p(mesh)
             params = jax.tree_util.tree_map(
                 lambda x, s: jax.device_put(x, s), params, shardings)
         return params, opt.init(params)

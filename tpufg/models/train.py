@@ -169,8 +169,8 @@ def main(argv=None) -> int:
                         "5%% linear warmup, ending at lr/20) — constant "
                         "lr otherwise")
     p.add_argument("--hidden", type=int, default=64)
-    p.add_argument("--arch", choices=["v1", "v2"], default="v1",
-                   help="v1 = single-stage 1/4-res flow; v2 = two-stage "
+    p.add_argument("--arch", choices=["v1", "v2", "v3"], default="v1",
+                   help="v1 = single-stage 1/4-res flow; v2/v3 = two-stage "
                         "coarse-to-fine (1/8 flow -> warp -> 1/4 residual)")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", default=None)
@@ -208,7 +208,7 @@ def main(argv=None) -> int:
         log.error(f"bad --crop {args.crop!r} (HxW)")
         return 1
     crop_h, crop_w = int(m.group(1)), int(m.group(2))
-    mult = 8 if args.arch == "v2" else 4  # v2 adds the 1/8 coarse stage
+    mult = 8 if args.arch in ("v2", "v3") else 4  # 1/8 coarse stage
     if args.ft:
         mult = 16  # the ft tail's block lattice (grid = 16)
     if crop_h % mult or crop_w % mult:
