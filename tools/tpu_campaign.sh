@@ -47,6 +47,10 @@ stage eval_v2 1800 python tools/eval_natural.py --pairs 8 --no-gate \
 stage eval_v2_grain 1800 python tools/eval_natural.py --pairs 8 --grain \
   --no-gate --model-path checkpoints/head64_v2.npz --modes learned
 
+# 4b. decoded-content check (real codec round-trip; ordering must hold)
+stage eval_decoded 3600 python tools/eval_natural.py --pairs 8 --no-gate \
+  --codec mp4v --modes crossfade,pyramid,quality,learned
+
 # 5. sites-kernel dx_chunk retry (the r3 compile-helper blocker):
 #    chunk 11 and 33 at the shipping tile on a 1088p-class frame
 stage dx_retry 2400 python - <<'EOF'
