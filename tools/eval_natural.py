@@ -27,7 +27,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from tools.corpus import NaturalCorpus  # noqa: E402
 
 
-def run_mode(tag, cfg_kw, frames, truths, model_params=None):
+def run_mode(tag, cfg_kw, frames, truths, model_params=None, mult=2):
     import jax.numpy as jnp
 
     from tpufg.config import EngineConfig, resolve_sizes
@@ -37,16 +37,16 @@ def run_mode(tag, cfg_kw, frames, truths, model_params=None):
     h, w = frames[0].shape[:2]
     cfg = resolve_sizes(EngineConfig(
         input_width=w, input_height=h, output_width=w, output_height=h,
-        **cfg_kw))
+        fps_multiplier=mult, **cfg_kw))
     step = make_interp_step(cfg, model_params=model_params)
     ps, ss = [], []
     for i in range(len(frames) - 1):
-        out = np.asarray(step(jnp.asarray(frames[i]),
-                              jnp.asarray(frames[i + 1]))[0])
-        t = truths[i].astype(np.float64) / 255.0
-        o = out.astype(np.float64) / 255.0
-        ps.append(psnr(t[..., :3], o[..., :3]))
-        ss.append(ssim(t[..., :3], o[..., :3]))
+        outs = step(jnp.asarray(frames[i]), jnp.asarray(frames[i + 1]))
+        for j in range(mult - 1):  # outs[-1] is the scaled current frame
+            t = truths[i][j].astype(np.float64) / 255.0
+            o = np.asarray(outs[j]).astype(np.float64) / 255.0
+            ps.append(psnr(t[..., :3], o[..., :3]))
+            ss.append(ssim(t[..., :3], o[..., :3]))
     return float(np.mean(ps)), float(np.mean(ss))
 
 
@@ -65,6 +65,12 @@ def main(argv=None):
                         "checkpoints/head64.npz)")
     p.add_argument("--no-gate", action="store_true",
                    help="skip the bf16-vs-f32 gate section (faster sweeps)")
+    p.add_argument("--mult", type=int, default=2,
+                   help="fps multiplier k: the engine emits k-1 in-betweens "
+                        "per pair (t = 1/k .. (k-1)/k, one shared MV field) "
+                        "and EVERY one is scored against the analytic truth "
+                        "rendered at its exact t (the corpus is analytic in "
+                        "float t)")
     p.add_argument("--codec", default=None, choices=("mp4v", "MJPG", "XVID"),
                    help="route the rendered sequence through a lossy "
                         "encode/decode (OpenCV/FFmpeg) before evaluation: "
@@ -76,23 +82,28 @@ def main(argv=None):
     corpus = NaturalCorpus(args.width, args.height, args.seed)
     grng = np.random.default_rng(args.seed + 7) if args.grain else None
     grain = 3.0 if args.grain else 0.0
+    k = args.mult
+    assert k >= 2, k
     frames, truths = [], []
     for i in range(args.pairs + 1):
         frames.append(corpus.frame(float(i), grain_rng=grng, grain=grain))
         if i < args.pairs:
-            truths.append(corpus.frame(i + 0.5, grain_rng=grng,
-                                       grain=grain))
+            truths.append([corpus.frame(i + j / k, grain_rng=grng,
+                                        grain=grain)
+                           for j in range(1, k)])
 
     if args.codec:
-        # lossy round-trip of the WHOLE half-step sequence (inputs and
+        # lossy round-trip of the WHOLE 1/k-step sequence (inputs and
         # truths alike), so the engine consumes decoder output and the
         # truth carries the same codec character — the metric then
         # isolates interpolation error on real decoded content
         import tempfile
 
         import cv2
-        seq = [None] * (2 * args.pairs + 1)
-        seq[::2], seq[1::2] = frames, truths
+        seq = [None] * (k * args.pairs + 1)
+        seq[::k] = frames
+        for i, ts in enumerate(truths):
+            seq[i * k + 1:i * k + k] = ts
         ext = "mp4" if args.codec == "mp4v" else "avi"
         path = tempfile.mktemp(suffix=f".{ext}", prefix="tpufg_eval_")
         wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*args.codec),
@@ -108,7 +119,8 @@ def main(argv=None):
         import os as _os
         _os.unlink(path)
         assert len(dec) == len(seq), (len(dec), len(seq))
-        frames, truths = dec[::2], dec[1::2]
+        frames = dec[::k]
+        truths = [dec[i * k + 1:i * k + k] for i in range(args.pairs)]
 
     modes = {
         "crossfade": dict(motion_mode="none", dtype="bf16"),
@@ -142,13 +154,14 @@ def main(argv=None):
             sel.remove("learned")
 
     tag = "grain" if args.grain else "clean"
+    mt = f", {k}x" if k != 2 else ""
     print(f"| mode ({tag}, {args.width}x{args.height}, "
-          f"{args.pairs} pairs) | PSNR dB | SSIM |")
+          f"{args.pairs} pairs{mt}) | PSNR dB | SSIM |")
     print("|---|---|---|")
     for m in sel:
         ps, ss = run_mode(m, modes[m], frames, truths,
                           model_params=model_params if m == "learned"
-                          else None)
+                          else None, mult=k)
         print(f"| {m} | {ps:.2f} | {ss:.4f} |", flush=True)
 
     if args.no_gate:
