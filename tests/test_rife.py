@@ -263,10 +263,53 @@ class TestTrainCLI:
                          "--save-every", "2", "--checkpoint", ckpt,
                          "--log-every", "2"])
         assert rc == 0
-        # mid-run saves at steps 2 and 4, plus the final save
-        assert saves == [ckpt] * 3
+        # mid-run saves at steps 2 and 4, plus the final save; each save
+        # writes the params file AND the sidecar train state
+        state = str(tmp_path / "periodic.state.npz")
+        assert saves == [ckpt, state] * 3
         from tpufg.models import rife
         assert rife.load_params(ckpt)["enc2"]["w"].shape[0] == 16
+
+    def test_resume_continues_from_saved_step(self, tmp_path):
+        """--resume with the sidecar state is a TRUE resume: the run
+        continues from the saved step with the saved optimizer (the lr
+        schedule count rides in the optimizer state), and a checkpoint
+        already at --steps is rejected rather than silently retrained."""
+        import jax
+
+        from tpufg.models import train
+        ckpt = str(tmp_path / "r.npz")
+        args = ["synthetic:64x64", "--batch", "2", "--crop", "32x48",
+                "--hidden", "16", "--cosine", "--log-every", "2",
+                "--checkpoint", ckpt]
+        assert train.main(args + ["--steps", "3"]) == 0
+        import optax
+
+        # the sidecar's structure includes the schedule state, so opt_like
+        # must be built with a schedule too (the run used --cosine)
+        init_state, _, _ = rife.make_train_step(optax.constant_schedule(1e-4))
+        _, opt_like = init_state(jax.random.PRNGKey(0), 16)
+        _, step = train.load_state(train._state_path(ckpt), opt_like)
+        assert step == 3
+        # resuming with --steps == the saved step: nothing to do
+        assert train.main(args + ["--steps", "3", "--resume", ckpt]) == 1
+        # true resume to the full horizon; final state records step 6
+        assert train.main(args + ["--steps", "6", "--resume", ckpt]) == 0
+        _, step = train.load_state(train._state_path(ckpt), opt_like)
+        assert step == 6
+
+    def test_resume_without_sidecar_warm_restarts(self, tmp_path):
+        """params-only checkpoints (no sidecar) keep the old semantics:
+        fresh optimizer, step 0."""
+        import os
+
+        from tpufg.models import train
+        ckpt = str(tmp_path / "w.npz")
+        args = ["synthetic:64x64", "--batch", "2", "--crop", "32x48",
+                "--hidden", "16", "--checkpoint", ckpt, "--log-every", "2"]
+        assert train.main(args + ["--steps", "2"]) == 0
+        os.unlink(train._state_path(ckpt))
+        assert train.main(args + ["--steps", "2", "--resume", ckpt]) == 0
 
     def test_train_main_raw_file_epochs(self, rng, tmp_path):
         """Trainer on a raw FILE source: size flags accepted, multiple

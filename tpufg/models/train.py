@@ -173,7 +173,14 @@ def main(argv=None) -> int:
                    help="v1 = single-stage 1/4-res flow; v2/v3 = two-stage "
                         "coarse-to-fine (1/8 flow -> warp -> 1/4 residual)")
     p.add_argument("--checkpoint", default=None)
-    p.add_argument("--resume", default=None)
+    p.add_argument("--resume", default=None, metavar="CKPT",
+                   help="restore parameters from CKPT; if CKPT's sidecar "
+                        "state file (<name>.state.npz: optimizer state + "
+                        "step) exists and matches, training CONTINUES from "
+                        "the saved step with the optimizer (and so the lr "
+                        "schedule — its count lives in the optimizer state) "
+                        "intact — pass the original --steps; without the "
+                        "sidecar it is a params-only warm restart")
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--save-every", type=int, default=0, metavar="N",
                    help="also write --checkpoint every N steps (0 = only "
@@ -259,15 +266,38 @@ def main(argv=None) -> int:
         lr, mesh=mesh, arch=args.arch, ft=args.ft,
         flow_weight=args.flow_weight)
     params, opt_state = init_state(jax.random.PRNGKey(0), args.hidden)
+    start_step = 0
     if args.resume:
+        import os
+
         params = load_pytree(args.resume, params)
         log.info(f"resumed parameters from {args.resume}")
+        sp = _state_path(args.resume)
+        if os.path.exists(sp):
+            try:
+                opt_state, start_step = load_state(sp, opt_state)
+            except ValueError as e:
+                log.warning(f"train state {sp} incompatible ({e}); "
+                            "warm restart (fresh optimizer, step 0)")
+            else:
+                log.info(f"resumed optimizer state at step {start_step} "
+                         f"(lr schedule continues; --steps is the TOTAL "
+                         f"horizon — pass the original value)")
+        else:
+            log.info("no sidecar train state; warm restart "
+                     "(fresh optimizer, step 0)")
+        if start_step >= args.steps:
+            log.error(f"checkpoint already at step {start_step} >= "
+                      f"--steps {args.steps}; nothing to do")
+            return 1
 
     if synth:
         from tpufg.data.corpus import synthetic_triplets
+        # + start_step: a resumed run must not REPLAY the scene sequence
+        # it already trained on (the generator is deterministic in seed)
         gen = synthetic_triplets(
             crop_h, crop_w, args.batch,
-            seed=int(synth.group(1)) if synth.group(1) else 0,
+            seed=(int(synth.group(1)) if synth.group(1) else 0) + start_step,
             scene_w=scene_w, scene_h=scene_h, supervise=supervised)
         batches = _prefetch(gen)
     else:
@@ -285,10 +315,18 @@ def main(argv=None) -> int:
         batches = _interleaved(args.input, open_one, crop_h, crop_w,
                                args.batch, args.skip_cuts, log)
 
+    def save(step_i):
+        """Write the params checkpoint plus the sidecar train state
+        (optimizer state + step) that makes --resume a TRUE resume."""
+        save_pytree(args.checkpoint, run.params)
+        save_pytree(_state_path(args.checkpoint),
+                    {"opt": run.opt_state,
+                     "step": np.asarray(step_i, np.int64)})
+
     def run():
         t0 = time.perf_counter()
         losses = []
-        for step_i, b in enumerate(batches, 1):
+        for step_i, b in enumerate(batches, 1 + start_step):
             if synth:
                 prev, target, curr = b["prev"], b["target"], b["curr"]
             else:
@@ -307,7 +345,7 @@ def main(argv=None) -> int:
                 losses.append((float(loss),))
             run.params, run.opt_state = params_, opt_state_
             if step_i % args.log_every == 0:
-                rate = step_i / (time.perf_counter() - t0)
+                rate = (step_i - start_step) / (time.perf_counter() - t0)
                 win = np.mean(losses[-args.log_every:], axis=0)
                 extra = (f"  photo {win[1]:.5f}  flow {win[2]:.5f}"
                          if supervised else "")
@@ -316,7 +354,7 @@ def main(argv=None) -> int:
             if (args.save_every > 0 and args.checkpoint
                     and step_i % args.save_every == 0
                     and step_i < args.steps):
-                save_pytree(args.checkpoint, run.params)
+                save(step_i)
                 log.info(f"checkpointed step {step_i} "
                          f"-> {args.checkpoint}")
             if step_i >= args.steps:
@@ -333,9 +371,29 @@ def main(argv=None) -> int:
         log.info(f"final loss {losses[-1][0]:.5f} "
                  f"(first {losses[0][0]:.5f})")
     if args.checkpoint:
-        save_pytree(args.checkpoint, run.params)
+        save(min(start_step + len(losses), args.steps))
         log.info(f"saved parameters to {args.checkpoint}")
     return 0
+
+
+def _state_path(ckpt: str) -> str:
+    """Sidecar train-state file next to a params checkpoint."""
+    import os
+
+    return os.path.splitext(ckpt)[0] + ".state.npz"
+
+
+def load_state(path: str, opt_like) -> tuple:
+    """Restore a sidecar train state -> (opt_state, step).
+
+    ``opt_like`` must come from an optimizer CONFIGURED LIKE the saving
+    run's (the state structure differs between a schedule and a constant
+    lr); raises ValueError on structure mismatch."""
+    from tpufg.utils.checkpoint import load_pytree
+
+    st = load_pytree(path, {"opt": opt_like,
+                            "step": np.asarray(0, np.int64)})
+    return st["opt"], int(st["step"])
 
 
 class _nullcontext:
