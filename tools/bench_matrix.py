@@ -149,7 +149,7 @@ def main():
         from tpufg.models import rife
         ckpt = args.model_path or os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "checkpoints", "head64.npz")
+            "checkpoints", "head64_v3.npz")
         if os.path.exists(ckpt):
             params = rife.load_params(ckpt)
             arch = ("v3" if rife.is_v3(params)

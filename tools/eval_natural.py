@@ -62,7 +62,7 @@ def main(argv=None):
     p.add_argument("--modes", default="crossfade,pyramid,quality,learned")
     p.add_argument("--model-path", default=None,
                    help="learned-head checkpoint (default: bundled "
-                        "checkpoints/head64.npz)")
+                        "checkpoints/head64_v3.npz)")
     p.add_argument("--no-gate", action="store_true",
                    help="skip the bf16-vs-f32 gate section (faster sweeps)")
     p.add_argument("--mult", type=int, default=2,
@@ -146,7 +146,7 @@ def main(argv=None):
 
         from tpufg.models import rife
         ckpt = args.model_path or os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "checkpoints", "head64.npz")
+            os.path.abspath(__file__))), "checkpoints", "head64_v3.npz")
         if os.path.exists(ckpt):
             model_params = rife.load_params(ckpt)
         else:

@@ -38,7 +38,7 @@ def main(in_w=1920, in_h=1080, out_mult=2, n=24, mode="pyramid", k=2,
         from tpufg.models import rife
         ckpt = model_path or os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "checkpoints", "head64.npz")
+            "checkpoints", "head64_v3.npz")
         model_params = rife.load_params(ckpt)
     step = make_interp_step(cfg, wire="i32",  # the production wire
                             model_params=model_params, q_feed=True)

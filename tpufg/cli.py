@@ -305,7 +305,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         if not path:
             # fall back to the checkpoint shipped with the repo
             bundled = os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), "checkpoints", "head64.npz")
+                os.path.abspath(__file__))), "checkpoints", "head64_v3.npz")
             if os.path.exists(bundled):
                 path = bundled
                 log.info(f"--model-path not given; using bundled {path}")
