@@ -219,3 +219,41 @@ class TestStepOnChip:
             y, u, v = _rgb_to_bt601(rgba[..., :3])
             host = y.tobytes() + _down2x2(u).tobytes() + _down2x2(v).tobytes()
             assert np.asarray(jax.device_get(p)).tobytes() == host
+
+
+class TestLearnedDefaultOnChip:
+    def test_v3_bundled_head_stream_bitwise(self, rng):
+        """The SHIPPING default (bundled v3 streaming head, bf16
+        production config) compiled on the chip: the q_feed streamed
+        step (quarter frame + per-frame encoder features threaded
+        between pairs) is bitwise-identical to the plain 2-arg step,
+        and outputs are valid frames.  Pins the default config-5 path
+        as deployed — real weights, not random init."""
+        import os
+
+        from tpufg.config import EngineConfig, resolve_sizes
+        from tpufg.engine.pipeline import make_interp_step, make_q_init
+        from tpufg.models import rife
+
+        ckpt = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "checkpoints", "head64_v3.npz")
+        params = rife.load_params(ckpt)
+        assert rife.is_v3(params)
+        cfg = resolve_sizes(EngineConfig(
+            input_width=128, input_height=96, output_width=128,
+            output_height=96, dtype="bf16", motion_mode="learned"))
+        plain = make_interp_step(cfg, model_params=params)
+        qstep = make_interp_step(cfg, model_params=params, q_feed=True)
+        frames = [rng.integers(0, 256, (96, 128, 4), dtype=np.uint8)
+                  for _ in range(3)]
+        fa = [jnp.asarray(f) for f in frames]
+        fb = [jnp.asarray(f) for f in frames]
+        q = make_q_init(cfg, model_params=params)(fb[0])
+        for i in range(2):
+            ref = plain(fa[i], fa[i + 1])
+            *outs, q = qstep(fb[i], fb[i + 1], q)
+            assert len(outs) == len(ref)
+            for r, o in zip(ref, outs):
+                r, o = np.asarray(r), np.asarray(o)
+                assert r.shape == (96, 128, 4) and r.dtype == np.uint8
+                assert (r == o).all()
