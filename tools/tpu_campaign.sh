@@ -42,44 +42,18 @@ stage eval_clean 3600 python tools/eval_natural.py --pairs 8 \
   --modes crossfade,pyramid,quality,quality_nofb,pyramid_fb,learned
 stage eval_grain 3600 python tools/eval_natural.py --pairs 8 --grain \
   --modes crossfade,pyramid,quality,quality_nofb,pyramid_fb,learned
-stage eval_v2 1800 python tools/eval_natural.py --pairs 8 --no-gate \
-  --model-path checkpoints/head64_v2.npz --modes learned
-stage eval_v2_grain 1800 python tools/eval_natural.py --pairs 8 --grain \
-  --no-gate --model-path checkpoints/head64_v2.npz --modes learned
+
+# 4a. multi-rate table: score EVERY in-between of an fps-multiplied stream
+#     against its exact-t analytic truth (one shared MV field per pair —
+#     the engine's real k>2 semantics)
+stage eval_mult3 2400 python tools/eval_natural.py --pairs 6 --no-gate \
+  --mult 3 --modes crossfade,pyramid,quality,learned
+stage eval_mult4 2400 python tools/eval_natural.py --pairs 6 --no-gate \
+  --mult 4 --modes crossfade,pyramid,quality,learned
 
 # 4b. decoded-content check (real codec round-trip; ordering must hold)
 stage eval_decoded 3600 python tools/eval_natural.py --pairs 8 --no-gate \
   --codec mp4v --modes crossfade,pyramid,quality,learned
 
-# 5. sites-kernel dx_chunk retry (the r3 compile-helper blocker):
-#    chunk 11 and 33 at the shipping tile on a 1088p-class frame
-stage dx_retry 2400 python - <<'EOF'
-import time
-import numpy as np
-import jax.numpy as jnp
-from tpufg.kernels.motion import motion_search_sites, sites_tile_w
-rng = np.random.default_rng(0)
-prev = jnp.asarray(rng.random((4, 1088, 1920)).astype(np.float32))
-curr = jnp.asarray(np.roll(np.asarray(prev), (3, -2), (1, 2)))
-ref = None
-for chunk in (3, 11, 33):
-    try:
-        t0 = time.perf_counter()
-        out = motion_search_sites(prev, curr, search_radius=16,
-                                  tile_w=sites_tile_w(16), dx_chunk=chunk)
-        _ = np.asarray(out[0:1, 0:1, 0:1]); compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter(); n = 10
-        for _ in range(n):
-            out = motion_search_sites(prev, curr, search_radius=16,
-                                      tile_w=sites_tile_w(16), dx_chunk=chunk)
-        _ = np.asarray(out[0:1, 0:1, 0:1])
-        ms = (time.perf_counter() - t0) / n * 1e3
-        full = np.asarray(out)
-        ok = "?" if ref is None else ("bitwise" if (full == ref).all() else "MISMATCH")
-        if ref is None: ref = full
-        print(f"dx_chunk {chunk}: {ms:.1f} ms (compile {compile_s:.0f}s) {ok}", flush=True)
-    except Exception as e:
-        print(f"dx_chunk {chunk}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
-EOF
 
 echo "campaign done -> $OUT"
