@@ -202,24 +202,33 @@ class TestFastConsistentTraining:
             lambda x: x + scale * jax.random.normal(
                 jax.random.PRNGKey(key), x.shape), params)
 
-    @pytest.mark.parametrize("arch", ["v1", "v2"])
+    @pytest.mark.parametrize("arch", ["v1", "v2", "v3"])
     def test_ft_matches_inference_f32(self, arch, u8pair):
         prev, curr = u8pair
-        init = rife.init_params if arch == "v1" else rife.init_params2
-        fwd = rife.forward if arch == "v1" else rife.forward2
-        params = self._noisy(init(jax.random.PRNGKey(1)))
-        ft = fwd(params, prev[None], curr[None], 0.5, ft=True)
-        if arch == "v2":
-            pass  # forward2 returns pred directly when with_aux=False
+        if arch == "v3":
+            # no forward3 wrapper: replicate loss_fn3's ft path — trunk
+            # with the 8-px coarse-warp replica + fractional tail replica
+            params = self._noisy(rife.init_params3(jax.random.PRNGKey(1)))
+            out1, _ = rife._head3_raw(params, prev[None], curr[None],
+                                      ft=True)
+            ft = rife._ft_tail(out1, prev[None], curr[None], 0.5,
+                               integer_flow=False)
+        else:
+            init = rife.init_params if arch == "v1" else rife.init_params2
+            fwd = rife.forward if arch == "v1" else rife.forward2
+            params = self._noisy(init(jax.random.PRNGKey(1)))
+            ft = fwd(params, prev[None], curr[None], 0.5, ft=True)
         fast = rife.interpolate_fast(params, prev, curr, 0.5,
                                      dtype=jnp.float32)
         assert float(jnp.max(jnp.abs(ft[0] - fast))) < 1e-5
 
-    @pytest.mark.parametrize("arch", ["v1", "v2"])
+    @pytest.mark.parametrize("arch", ["v1", "v2", "v3"])
     def test_ft_gradients_reach_flow_heads(self, arch, u8pair):
         prev, curr = u8pair
-        init = rife.init_params if arch == "v1" else rife.init_params2
-        lf = rife.loss_fn if arch == "v1" else rife.loss_fn2
+        init = {"v1": rife.init_params, "v2": rife.init_params2,
+                "v3": rife.init_params3}[arch]
+        lf = {"v1": rife.loss_fn, "v2": rife.loss_fn2,
+              "v3": rife.loss_fn3}[arch]
         params = self._noisy(init(jax.random.PRNGKey(1)))
         target = 0.3 * prev + 0.7 * curr
         grads = jax.grad(lambda p: lf(p, prev[None], curr[None],
@@ -359,6 +368,30 @@ class TestTrainCLI:
         rc = train.main([str(tmp_path / "missing.y4m"), "--steps", "2"])
         assert rc == 1
 
+    def test_train_main_crop_exceeds_scene_fails_fast(self):
+        """A synth crop larger than the scene is a config error at
+        flag level, not a worker-thread crash swallowed as 'sources
+        exhausted' (round-4 review finding)."""
+        from tpufg.models import train
+        rc = train.main(["synth:0", "--steps", "2",
+                         "--crop", "400x400", "--scene-size", "384x640"])
+        assert rc == 1
+
+    def test_prefetch_propagates_feed_errors(self):
+        """A feed that crashes mid-stream must FAIL the consuming loop,
+        not end it cleanly (a swallowed crash saves an untrained
+        checkpoint with rc 0)."""
+        from tpufg.models.train import _prefetch
+
+        def feed():
+            yield 1
+            raise ValueError("boom")
+
+        it = _prefetch(feed(), depth=2)
+        assert next(it) == 1
+        with pytest.raises(ValueError, match="boom"):
+            list(it)
+
 
 class TestIFNet3:
     """v3: the streaming two-stage head (siamese cached per-frame
@@ -402,6 +435,19 @@ class TestIFNet3:
         # H=80 -> quarter rows 20, not a multiple of 8
         prev = jnp.asarray(rng.random((4, 80, 128)).astype(np.float32))
         curr = jnp.asarray(rng.random((4, 80, 128)).astype(np.float32))
+        out = rife.interpolate_fast(params, prev, curr, 0.5)
+        assert out.shape == prev.shape
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_coarse_warp8_odd_quarter_cols(self, rng):
+        """720/1360-px-wide streams have 1/4-res WIDTHS that are not
+        8-multiples (720 -> 180): columns pad to the block grid too
+        (round-4 review finding — height alone was padded)."""
+        params = rife.init_params3(jax.random.PRNGKey(5), hidden=32)
+        # W=48 -> quarter cols 12; H=64 -> quarter rows 16 (rows aligned,
+        # cols not — isolates the width path)
+        prev = jnp.asarray(rng.random((4, 64, 48)).astype(np.float32))
+        curr = jnp.asarray(rng.random((4, 64, 48)).astype(np.float32))
         out = rife.interpolate_fast(params, prev, curr, 0.5)
         assert out.shape == prev.shape
         assert bool(jnp.all(jnp.isfinite(out)))

@@ -160,7 +160,8 @@ if __name__ == "__main__":
     ap.add_argument("-k", type=int, default=2)
     ap.add_argument("-n", type=int, default=24)
     ap.add_argument("--model-path", default=None,
-                    help="learned-head checkpoint (default: bundled v1)")
+                    help="learned-head checkpoint (default: the bundled "
+                         "checkpoints/head64_v3.npz)")
     args = ap.parse_args()
     main(args.in_w, args.in_h, args.out_mult, args.n, args.mode, args.k,
          args.model_path)

@@ -4,11 +4,14 @@
 # then run the held-out evals and the engine rate check.  One TPU
 # client, strictly sequential, each stage bounded by a timeout — see
 # docs/ROUND3.md (relay-wedge discipline).
-#   bash tools/resume_v3.sh [outdir] [remaining_steps]
+# STEPS is the TOTAL training horizon (the sidecar <ckpt>.state.npz
+# makes --resume a TRUE resume: the run continues from the saved step
+# with its optimizer state, toward --steps total).
+#   bash tools/resume_v3.sh [outdir] [total_steps]
 set -u
 cd "$(dirname "$0")/.."
 OUT="${1:-.data/train_v3_resume}"
-STEPS="${2:-3500}"
+STEPS="${2:-6000}"
 CK=.data/ckpt/v3_sup.npz
 mkdir -p "$OUT"
 
@@ -26,8 +29,9 @@ import jax, jax.numpy as jnp
 print('PROBE_OK', float(jnp.ones((8,128)).sum()))"
 grep -q PROBE_OK "$OUT/probe.log" || { echo 'relay wedged; aborting'; exit 1; }
 
-# warm restart: params from the checkpoint, fresh warmup+cosine over the
-# remaining budget (the trainer does not persist optimizer state)
+# true resume when <ckpt>.state.npz exists (optimizer state + step;
+# the cosine schedule and feed seed continue exactly); warm restart
+# otherwise
 stage train 14400 python -m tpufg.models.train synth:0 --arch v3 \
   --steps "$STEPS" --cosine --flow-weight 0.1 --batch 4 --crop 128x192 \
   --resume "$CK" --checkpoint "$CK" --save-every 500 --log-every 100

@@ -680,38 +680,49 @@ def encode3(params: dict, frame: jax.Array, dtype=F32,
 
 def _coarse_warp8(out0_4, p4, c4, dtype):
     """Inference coarse warp at 8-px blocks on the quarter frames
-    (integer flows, clamp +-4 via the warp kernel).  1/4-res heights are
-    not always 8-multiples (4K -> 540): pad frame rows and the flow
-    lattice to the block grid, crop after."""
+    (integer flows, clamp +-4 via the warp kernel).  1/4-res extents are
+    not always 8-multiples (4K height -> 540; a 720- or 1360-px-wide
+    stream -> quarter width % 8 == 4): pad frame rows AND columns plus
+    the flow lattice to the block grid, crop after."""
     from tpufg.kernels.warp_matmul import warp_blend_matmul
     lat = out0_4[0, :, 4::8, 4::8]
     fp4 = jnp.round(lat[0:2])
     fc4 = jnp.round(lat[2:4])
-    hq = p4.shape[2]
-    hpad = (-hq) % 8
+    hq, wq = p4.shape[2], p4.shape[3]
+    hpad, wpad = (-hq) % 8, (-wq) % 8
     p4b, c4b = p4, c4
-    if hpad:
-        p4b = jnp.pad(p4, ((0, 0), (0, 0), (0, hpad), (0, 0)), mode="edge")
-        c4b = jnp.pad(c4, ((0, 0), (0, 0), (0, hpad), (0, 0)), mode="edge")
+    if hpad or wpad:
+        pads = ((0, 0), (0, 0), (0, hpad), (0, wpad))
+        p4b = jnp.pad(p4, pads, mode="edge")
+        c4b = jnp.pad(c4, pads, mode="edge")
     rpad = (hq + hpad) // 8 - fp4.shape[1]
-    if rpad:
-        fp4 = jnp.pad(fp4, ((0, 0), (0, rpad), (0, 0)), mode="edge")
-        fc4 = jnp.pad(fc4, ((0, 0), (0, rpad), (0, 0)), mode="edge")
+    cpad = (wq + wpad) // 8 - fp4.shape[2]
+    if rpad or cpad:
+        pads = ((0, 0), (0, rpad), (0, cpad))
+        fp4 = jnp.pad(fp4, pads, mode="edge")
+        fc4 = jnp.pad(fc4, pads, mode="edge")
     kw = dict(single=True, block=8, search_radius=4, dtype=dtype,
               integer_offsets=True)
-    p4w = warp_blend_matmul(p4b[0], p4b[0], fp4, **kw)[None, :, :hq]
-    c4w = warp_blend_matmul(c4b[0], c4b[0], fc4, **kw)[None, :, :hq]
+    p4w = warp_blend_matmul(p4b[0], p4b[0], fp4, **kw)[None, :, :hq, :wq]
+    c4w = warp_blend_matmul(c4b[0], c4b[0], fc4, **kw)[None, :, :hq, :wq]
     return p4w, c4w
 
 
 def _head3_raw(params: dict, prev: jax.Array, curr: jax.Array, dtype=F32,
-               fast: bool = False, p4=None, c4=None, f4p=None, f4c=None):
+               fast: bool = False, ft: bool = False,
+               p4=None, c4=None, f4p=None, f4c=None):
     """v3 trunk: frame pair -> (refined head output [B, 5, H/4, W/4],
     coarse stage-1 output [B, 5, H/8, W/8]).
 
     ``p4``/``c4``: precomputed quarter frames; ``f4p``/``f4c``:
     precomputed per-frame encoder features — the engine threads BOTH for
-    prev (each frame is downsampled and encoded once per stream)."""
+    prev (each frame is downsampled and encoded once per stream).
+
+    ``ft`` (fast-consistent training): the stage-2 coarse warp runs the
+    differentiable replica of the INFERENCE coarse warp (_coarse_warp8's
+    8-px lattice, straight-through integer flows, clamp +-4) instead of
+    the smooth per-pixel bilinear warp — quarter dims must then be
+    8-multiples (crop divisible by 32)."""
     if f4p is None:
         f4p = encode3(params, prev, dtype, fast)
     if f4c is None:
@@ -729,6 +740,12 @@ def _head3_raw(params: dict, prev: jax.Array, curr: jax.Array, dtype=F32,
         c4 = _down4_mean(curr.astype(F32))
     if fast:
         p4w, c4w = _coarse_warp8(out0_4, p4, c4, dtype)
+    elif ft:
+        # differentiable replica of _coarse_warp8: same 8-px lattice
+        # sample, straight-through round, the warp's +-4 clamp
+        lat0 = out0_4[:, :, 4::8, 4::8]
+        p4w = bilinear_warp(p4, _block_flow(lat0[:, 0:2], 4.0, 8))
+        c4w = bilinear_warp(c4, _block_flow(lat0[:, 2:4], 4.0, 8))
     else:
         p4w = bilinear_warp(p4, out0_4[:, 0:2])
         c4w = bilinear_warp(c4, out0_4[:, 2:4])
@@ -784,8 +801,11 @@ def loss_fn3_sup(params, prev, curr, target, sup, t: float = 0.5,
 def loss_fn3(params, prev, curr, target, t: float = 0.5,
              aux_weight: float = 0.3, ft: bool = False):
     """v3 photometric loss (smooth tail + 1/8 aux); ``ft`` runs the
-    fractional inference-tail replica like loss_fn2."""
-    out1, out0 = _head3_raw(params, prev, curr)
+    fractional inference-tail replica like loss_fn2 — INCLUDING the
+    stage-2 8-px coarse-warp replica in the trunk (the aux stage-1
+    supervision stays smooth; its job is flow accuracy, not
+    warp-granularity robustness)."""
+    out1, out0 = _head3_raw(params, prev, curr, ft=ft)
     if ft:
         pred = _ft_tail(out1, prev, curr, t, integer_flow=False)
     else:

@@ -136,11 +136,14 @@ def _prefetch(gen, depth=3):
 
     q = queue.Queue(maxsize=depth)
     stop = object()
+    err = []
 
     def worker():
         try:
             for item in gen:
                 q.put(item)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            err.append(e)
         finally:
             q.put(stop)
 
@@ -148,6 +151,8 @@ def _prefetch(gen, depth=3):
     while True:
         item = q.get()
         if item is stop:
+            if err:  # a crashed feed must FAIL the run, not end it
+                raise err[0]
             return
         yield item
 
@@ -217,7 +222,9 @@ def main(argv=None) -> int:
     crop_h, crop_w = int(m.group(1)), int(m.group(2))
     mult = 8 if args.arch in ("v2", "v3") else 4  # 1/8 coarse stage
     if args.ft:
-        mult = 16  # the ft tail's block lattice (grid = 16)
+        # the ft tail's block lattice (grid = 16); v3's stage-2 replica
+        # additionally needs 8-multiple QUARTER dims (8-px coarse warp)
+        mult = 32 if args.arch == "v3" else 16
     if crop_h % mult or crop_w % mult:
         log.error(f"crop dims must be divisible by {mult}")
         return 1
@@ -235,6 +242,10 @@ def main(argv=None) -> int:
         log.error(f"bad --scene-size {args.scene_size!r} (HxW)")
         return 1
     scene_h, scene_w = int(ms.group(1)), int(ms.group(2))
+    if synth and (crop_h > scene_h or crop_w > scene_w):
+        log.error(f"--crop {crop_h}x{crop_w} exceeds --scene-size "
+                  f"{scene_h}x{scene_w}")
+        return 1
 
     import jax
     import jax.numpy as jnp
