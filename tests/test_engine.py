@@ -936,6 +936,27 @@ class TestMotionSkipAlpha:
         # synthetic textures carry varying alpha: no guarantee
         assert SyntheticSource(16, 16).const_alpha is None
 
+    def test_const_alpha_scan_covers_whole_file(self, tmp_path):
+        """const_alpha=True is a per-stream guarantee, so the open-time
+        scan must reject a file whose alpha varies only LATE (round-4
+        review finding: a 16-frame prefix scan promised 'every frame')."""
+        from tpufg.io import sources
+        from tpufg.io.sources import RawVideoSource
+        rng = np.random.default_rng(4)
+        frames = rng.integers(0, 256, (24, 16, 16, 4), dtype=np.uint8)
+        frames[..., 3] = 255
+        frames[20, 5, 5, 3] = 7  # one byte, frame 20 of 24
+        p = str(tmp_path / "late.raw")
+        open(p, "wb").write(frames.tobytes())
+        assert RawVideoSource(p, 16, 16).const_alpha is False
+        # beyond the IO budget the scan reports unknown, never a promise
+        orig = sources._ALPHA_SCAN_MAX_BYTES
+        sources._ALPHA_SCAN_MAX_BYTES = 16 * 16 * 4
+        try:
+            assert RawVideoSource(p, 16, 16).const_alpha is None
+        finally:
+            sources._ALPHA_SCAN_MAX_BYTES = orig
+
     def test_y4m_source_guarantees_const_alpha(self, tmp_path):
         from tpufg.io.sinks import Y4MSink
         from tpufg.io.sources import Y4MSource

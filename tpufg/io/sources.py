@@ -60,31 +60,38 @@ class FrameSource:
         self.close()
 
 
+#: full-file alpha verification budget.  Beyond it the scan returns None
+#: (unknown) instead of promising a per-stream guarantee from a prefix —
+#: the engine then keeps the always-correct 4-channel motion search.
+_ALPHA_SCAN_MAX_BYTES = 2 << 30
+
+
 def _scan_const_alpha(path: str, width: int, height: int,
-                      channel_order: str, max_frames: int = 16) -> bool:
-    """True when the first ``max_frames`` frames of a raw RGBA/BGRA file
-    all carry one identical constant alpha byte.  A bounded scan (page
-    cache, ~0.5 GB/s): capture-class content has constant 0xFF alpha, so
-    this usually confirms on real streams and cheaply rejects on random
-    test data.  Best-effort by design — a later frame with varying alpha
-    only makes motion estimation ignore a channel the reference also sees
-    as near-constant, never corrupts output alpha (the warp carries 4
-    channels regardless)."""
+                      channel_order: str) -> Optional[bool]:
+    """True when EVERY frame of a raw RGBA/BGRA file carries one
+    identical constant alpha byte — a full-file scan (sequential pages,
+    ~0.5 GB/s page-cached), so ``FrameSource.const_alpha``'s "every
+    frame" contract is actually verified, not extrapolated from the
+    opening frames (an alpha that starts constant and varies mid-stream
+    would otherwise silently drop the alpha term from motion search for
+    the frames where it matters).  Capture-class content has constant
+    0xFF alpha, so this confirms on real streams and cheaply rejects on
+    random test data; files beyond the IO budget return None
+    (unknown)."""
     fb = width * height * 4
-    n = min(max_frames, os.path.getsize(path) // fb) if fb else 0
+    size = os.path.getsize(path)
+    n = size // fb if fb else 0
     if n <= 0:
         return False
+    if size > _ALPHA_SCAN_MAX_BYTES:
+        return None
     del channel_order  # RGBA and BGRA both keep alpha at pixel byte 3
-    a_off = 3
     mm = np.memmap(path, dtype=np.uint8, mode="r")
-    first = int(mm[a_off])
-    for i in range(n):
-        plane = mm[i * fb + a_off:(i + 1) * fb:4]
-        if plane.max() != first or plane.min() != first:
-            del mm
-            return False
-    del mm
-    return True
+    plane = mm[3:n * fb:4]
+    first = int(plane[0])
+    ok = bool(plane.max() == first) and bool(plane.min() == first)
+    del plane, mm
+    return ok
 
 
 def _to_rgba(frame: np.ndarray, order: str) -> np.ndarray:

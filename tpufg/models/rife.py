@@ -582,15 +582,46 @@ def forward2(params: dict, prev: jax.Array, curr: jax.Array,
     return pred, pred8
 
 
+def _two_stage_loss(head_fn, params, prev, curr, target, t, aux_weight,
+                    ft=False, sup=None, flow_weight=0.1, mask_weight=0.02):
+    """Shared v2/v3 two-stage loss (both heads return (out1 at 1/4,
+    out0 at 1/8) with identical channel semantics, so the loss math is
+    one function of the trunk): L1 on the refined prediction + weighted
+    L1 on the coarse stage warped at 1/8 scale.  ``ft`` runs the
+    inference-replica trunk + tail (see loss_fn2/loss_fn3).  With
+    ``sup``, adds the analytic flow/mask supervision of BOTH stages and
+    returns (loss, (photo, l_flow)) — the v2f recipe."""
+    out1, out0 = head_fn(params, prev, curr, ft=ft)
+    if ft:
+        # fractional replica: the deployed tail keeps real-valued flows
+        pred = _ft_tail(out1, prev, curr, t, integer_flow=False)
+    else:
+        pred = _smooth_tail(out1, prev, curr, t)
+    p8 = _down2_mean(_down2_mean(_down2_mean(prev.astype(F32))))
+    c8 = _down2_mean(_down2_mean(_down2_mean(curr.astype(F32))))
+    pred8 = _fuse(bilinear_warp(p8, out0[:, 0:2]),
+                  bilinear_warp(c8, out0[:, 2:4]),
+                  jax.nn.sigmoid(out0[:, 4:5]), t)
+    t8 = _down2_mean(_down2_mean(_down2_mean(target.astype(F32))))
+    photo = (jnp.mean(jnp.abs(pred - target.astype(F32)))
+             + F32(aux_weight) * jnp.mean(jnp.abs(pred8 - t8)))
+    if sup is None:
+        return photo
+    f1, m1 = _flow_sup_terms(out1, sup["flow4"], sup["vp4"], sup["vc4"])
+    f0, m0 = _flow_sup_terms(out0, sup["flow8"], sup["vp8"], sup["vc8"])
+    l_flow = f1 + F32(aux_weight) * f0
+    l_mask = m1 + F32(aux_weight) * m0
+    return (photo + F32(flow_weight) * l_flow
+            + F32(mask_weight) * l_mask), (photo, l_flow)
+
+
 def loss_fn2(params, prev, curr, target, t: float = 0.5,
              aux_weight: float = 0.3, ft: bool = False):
     """L1 on the refined prediction + weighted L1 on the coarse stage at
     1/8 scale (per-stage supervision keeps stage 1 from collapsing to
     zero flow and letting stage 2 do all the work beyond its reach)."""
-    pred, pred8 = forward2(params, prev, curr, t, with_aux=True, ft=ft)
-    t8 = _down2_mean(_down2_mean(_down2_mean(target.astype(F32))))
-    return (jnp.mean(jnp.abs(pred - target.astype(F32)))
-            + F32(aux_weight) * jnp.mean(jnp.abs(pred8 - t8)))
+    return _two_stage_loss(_head2_raw, params, prev, curr, target, t,
+                           aux_weight, ft=ft)
 
 
 # ---------------------------------------------------------------------------
@@ -780,22 +811,9 @@ def loss_fn3_sup(params, prev, curr, target, sup, t: float = 0.5,
                  mask_weight: float = 0.02):
     """v3 photometric (+1/8 aux) + analytic-flow supervision — the v2f
     recipe (loss_fn2_sup) on the v3 trunk."""
-    out1, out0 = _head3_raw(params, prev, curr)
-    pred = _smooth_tail(out1, prev, curr, t)
-    p8 = _down2_mean(_down2_mean(_down2_mean(prev.astype(F32))))
-    c8 = _down2_mean(_down2_mean(_down2_mean(curr.astype(F32))))
-    pred8 = _fuse(bilinear_warp(p8, out0[:, 0:2]),
-                  bilinear_warp(c8, out0[:, 2:4]),
-                  jax.nn.sigmoid(out0[:, 4:5]), t)
-    t8 = _down2_mean(_down2_mean(_down2_mean(target.astype(F32))))
-    photo = (jnp.mean(jnp.abs(pred - target.astype(F32)))
-             + F32(aux_weight) * jnp.mean(jnp.abs(pred8 - t8)))
-    f1, m1 = _flow_sup_terms(out1, sup["flow4"], sup["vp4"], sup["vc4"])
-    f0, m0 = _flow_sup_terms(out0, sup["flow8"], sup["vp8"], sup["vc8"])
-    l_flow = f1 + F32(aux_weight) * f0
-    l_mask = m1 + F32(aux_weight) * m0
-    return (photo + F32(flow_weight) * l_flow
-            + F32(mask_weight) * l_mask), (photo, l_flow)
+    return _two_stage_loss(_head3_raw, params, prev, curr, target, t,
+                           aux_weight, sup=sup, flow_weight=flow_weight,
+                           mask_weight=mask_weight)
 
 
 def loss_fn3(params, prev, curr, target, t: float = 0.5,
@@ -805,19 +823,8 @@ def loss_fn3(params, prev, curr, target, t: float = 0.5,
     stage-2 8-px coarse-warp replica in the trunk (the aux stage-1
     supervision stays smooth; its job is flow accuracy, not
     warp-granularity robustness)."""
-    out1, out0 = _head3_raw(params, prev, curr, ft=ft)
-    if ft:
-        pred = _ft_tail(out1, prev, curr, t, integer_flow=False)
-    else:
-        pred = _smooth_tail(out1, prev, curr, t)
-    p8 = _down2_mean(_down2_mean(_down2_mean(prev.astype(F32))))
-    c8 = _down2_mean(_down2_mean(_down2_mean(curr.astype(F32))))
-    pred8 = _fuse(bilinear_warp(p8, out0[:, 0:2]),
-                  bilinear_warp(c8, out0[:, 2:4]),
-                  jax.nn.sigmoid(out0[:, 4:5]), t)
-    t8 = _down2_mean(_down2_mean(_down2_mean(target.astype(F32))))
-    return (jnp.mean(jnp.abs(pred - target.astype(F32)))
-            + F32(aux_weight) * jnp.mean(jnp.abs(pred8 - t8)))
+    return _two_stage_loss(_head3_raw, params, prev, curr, target, t,
+                           aux_weight, ft=ft)
 
 
 def interpolate_fast3(params: dict, prev: jax.Array, curr: jax.Array,
@@ -843,17 +850,10 @@ def interpolate_fast3(params: dict, prev: jax.Array, curr: jax.Array,
 
 
 def param_shardings3(mesh: Mesh) -> dict:
-    """v3 tensor-parallel layout (same rule as v1/v2)."""
-    def ns(*spec):
-        return NamedSharding(mesh, P(*spec))
-
-    tp_w = {"w": ns("tp", None, None, None), "b": ns("tp")}
-    return {
-        "enc1": tp_w, "enc2": tp_w, "enc3": tp_w,
-        "c_body": tp_w, "r_in": tp_w, "r_body": tp_w,
-        "c_head": {"w": ns(None, "tp", None, None), "b": ns(None)},
-        "r_head": {"w": ns(None, "tp", None, None), "b": ns(None)},
-    }
+    """v3 tensor-parallel layout — identical to v2's (the two trunks
+    share the 8-layer {enc1..3, c_body/c_head, r_in/r_body/r_head}
+    layout; one table keeps them in sync)."""
+    return param_shardings2(mesh)
 
 
 # ---------------------------------------------------------------------------
@@ -915,22 +915,9 @@ def loss_fn2_sup(params, prev, curr, target, sup, t: float = 0.5,
     stages: the refined head against the quarter-res targets and the
     coarse stage against the 1/8 targets (each in its own res units —
     sup keys flow4/vp4/vc4 and flow8/vp8/vc8)."""
-    out1, out0 = _head2_raw(params, prev, curr)
-    pred = _smooth_tail(out1, prev, curr, t)
-    p8 = _down2_mean(_down2_mean(_down2_mean(prev.astype(F32))))
-    c8 = _down2_mean(_down2_mean(_down2_mean(curr.astype(F32))))
-    pred8 = _fuse(bilinear_warp(p8, out0[:, 0:2]),
-                  bilinear_warp(c8, out0[:, 2:4]),
-                  jax.nn.sigmoid(out0[:, 4:5]), t)
-    t8 = _down2_mean(_down2_mean(_down2_mean(target.astype(F32))))
-    photo = (jnp.mean(jnp.abs(pred - target.astype(F32)))
-             + F32(aux_weight) * jnp.mean(jnp.abs(pred8 - t8)))
-    f1, m1 = _flow_sup_terms(out1, sup["flow4"], sup["vp4"], sup["vc4"])
-    f0, m0 = _flow_sup_terms(out0, sup["flow8"], sup["vp8"], sup["vc8"])
-    l_flow = f1 + F32(aux_weight) * f0
-    l_mask = m1 + F32(aux_weight) * m0
-    return (photo + F32(flow_weight) * l_flow
-            + F32(mask_weight) * l_mask), (photo, l_flow)
+    return _two_stage_loss(_head2_raw, params, prev, curr, target, t,
+                           aux_weight, sup=sup, flow_weight=flow_weight,
+                           mask_weight=mask_weight)
 
 
 def interpolate_fast2(params: dict, prev: jax.Array, curr: jax.Array,
