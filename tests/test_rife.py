@@ -140,6 +140,28 @@ class TestIFNet2:
                                    integer_flow=True)
         np.testing.assert_array_equal(np.asarray(d1), np.asarray(i1))
 
+    @pytest.mark.parametrize("arch", ["v1", "v2", "v3"])
+    def test_trunk_tail_split_matches_fused(self, arch, rng):
+        """The fps-multiplying engine computes the t-independent trunk
+        ONCE per pair and one tail per time point; the split must be
+        bitwise-equal to the fused interpolate_fast at every t."""
+        init = {"v1": rife.init_params, "v2": rife.init_params2,
+                "v3": rife.init_params3}[arch]
+        params = jax.tree_util.tree_map(
+            lambda x: x + 0.05 * jax.random.normal(
+                jax.random.PRNGKey(7), x.shape),
+            init(jax.random.PRNGKey(1), hidden=32))
+        prev = jnp.asarray(rng.random((4, 64, 64)).astype(np.float32))
+        curr = jnp.asarray(rng.random((4, 64, 64)).astype(np.float32))
+        out = rife.trunk_fast(params, prev, curr, dtype=jnp.float32)
+        for t in (0.25, 0.5, 0.75):
+            split = rife.tail_fast(params, out, prev, curr, t,
+                                   dtype=jnp.float32)
+            fused = rife.interpolate_fast(params, prev, curr, t,
+                                          dtype=jnp.float32)
+            np.testing.assert_array_equal(np.asarray(split),
+                                          np.asarray(fused))
+
     def test_checkpoint_roundtrip_infers_arch(self, tmp_path):
         from tpufg.utils.checkpoint import save_pytree
         for init, name in ((rife.init_params, "v1"),

@@ -55,5 +55,10 @@ stage eval_mult4 2400 python tools/eval_natural.py --pairs 6 --no-gate \
 stage eval_decoded 3600 python tools/eval_natural.py --pairs 8 --no-gate \
   --codec mp4v --modes crossfade,pyramid,quality,learned
 
+# 4c. k=4 learned step timing (the trunk is hoisted out of the per-t
+#     loop: one trunk + k-1 tails per pair — measure the multiplied rate)
+stage profile_k4 1800 python tools/profile_step.py --mode learned -k 4 \
+  --in-w 3840 --in-h 2160 --out-mult 1
+
 
 echo "campaign done -> $OUT"

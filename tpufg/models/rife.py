@@ -849,6 +849,51 @@ def interpolate_fast3(params: dict, prev: jax.Array, curr: jax.Array,
                       integer_flow)
 
 
+def trunk_fast(params: dict, prev: jax.Array, curr: jax.Array,
+               dtype=jnp.bfloat16, p4=None, c4=None, f4p=None, f4c=None):
+    """t-INDEPENDENT inference trunk output [5, H/4, W/4] (any arch).
+
+    The learned heads' flows/mask depend only on the frame pair — the
+    tail scales them by t — so a k-fps-multiplying engine step computes
+    the trunk ONCE per pair and runs only the tail per time point
+    (k-1 tails instead of k-1 full heads; relying on XLA CSE to merge
+    k-1 structurally identical trunks is not a contract).
+
+    ``p4``/``c4``/``f4p``/``f4c``: the engine's per-frame stream cache
+    (v2 uses the quarter frames; v3 also the encoder features)."""
+    if is_v3(params):
+        out1, _ = _head3_raw(params, prev[None], curr[None], dtype=dtype,
+                             fast=True,
+                             p4=None if p4 is None else p4[None],
+                             c4=None if c4 is None else c4[None],
+                             f4p=None if f4p is None else f4p[None],
+                             f4c=None if f4c is None else f4c[None])
+        return out1[0]
+    if is_v2(params):
+        out1, _ = _head2_raw(params, prev[None], curr[None], dtype=dtype,
+                             fast=True,
+                             p4=None if p4 is None else p4[None],
+                             c4=None if c4 is None else c4[None])
+        return out1[0]
+    return _trunk_raw(params, prev[None], curr[None], dtype=dtype,
+                      fast=True)[0]
+
+
+def tail_fast(params: dict, out, prev: jax.Array, curr: jax.Array,
+              t: float = 0.5, grid: int = 16, max_flow: int = 8,
+              dtype=jnp.bfloat16,
+              integer_flow: bool | None = None) -> jax.Array:
+    """The per-time-point tail on a precomputed trunk output (see
+    trunk_fast).  tail_fast(params, trunk_fast(params, p, c), p, c, t)
+    == interpolate_fast(params, p, c, t) exactly — same ops, same
+    per-arch integer_flow default (v1 True, v2/v3 False; the rationale
+    tables live on interpolate_fast)."""
+    if integer_flow is None:
+        integer_flow = not (is_v2(params) or is_v3(params))
+    return _fast_tail(out, prev, curr, t, grid, max_flow, dtype,
+                      integer_flow)
+
+
 def param_shardings3(mesh: Mesh) -> dict:
     """v3 tensor-parallel layout — identical to v2's (the two trunks
     share the 8-layer {enc1..3, c_body/c_head, r_in/r_body/r_head}
