@@ -60,5 +60,16 @@ stage eval_decoded 3600 python tools/eval_natural.py --pairs 8 --no-gate \
 stage profile_k4 1800 python tools/profile_step.py --mode learned -k 4 \
   --in-w 3840 --in-h 2160 --out-mult 1
 
+# 5. paced DEMONSTRATION well above the r3 4-fps demo: a real-time run
+#    with per-frame sync + y4m egress at a size the relay's ~31 MB/s
+#    readback sustains (640x480 C420 at 48 out-fps = 22 MB/s).  The
+#    runner's final line records deadlines met — demonstrated pacing,
+#    not arithmetic from trace percentiles.
+stage paced_demo 1200 python -m tpufg.cli synthetic:320x240 \
+  --output-width 640 --output-height 480 --target-fps 24 \
+  --fps-multiplier 2 --frames 240 --output "$OUT/paced_demo.y4m" \
+  --y4m-chroma 420
+stage paced_demo_rm 60 rm -f "$OUT/paced_demo.y4m"
+
 
 echo "campaign done -> $OUT"
