@@ -18,8 +18,12 @@ import jax, jax.numpy as jnp
 print('devices', jax.devices())
 print('PROBE_OK', float(jnp.ones((8,128)).sum()))" 2>&1 | grep -q PROBE_OK; then
     echo "[await_relay] relay GREEN at $(date -u +%H:%M:%SZ); starting campaign"
-    bash tools/tpu_campaign.sh "$OUT"
-    exit 0
+    if bash tools/tpu_campaign.sh "$OUT"; then
+      exit 0
+    fi
+    # the campaign itself found the lease wedged (it can flap: one green
+    # probe, then a hang on the next client) — keep waiting
+    echo "[await_relay] campaign aborted on a wedged lease; resuming probes"
   fi
   echo "[await_relay] still wedged; sleeping ${INTERVAL}s"
   sleep "$INTERVAL"

@@ -19,12 +19,20 @@ stage() {  # stage <name> <timeout_s> <cmd...>
   tail -4 "$OUT/$name.log" | sed 's/^/    /'
 }
 
-# 0. bounded probe: bail early if the lease is still wedged
-stage probe 300 python -c "
+# 0. bounded probe: bail only after several attempts (the lease can flap —
+#    one green probe followed by a hang on the next client was observed
+#    2026-08-19; a single-shot probe then aborts a whole campaign window)
+PROBE_OK=0
+for attempt in 1 2 3 4; do
+  stage "probe$attempt" 300 python -c "
 import jax, jax.numpy as jnp
 print('devices', jax.devices())
 print('PROBE_OK', float(jnp.ones((8,128)).sum()))"
-grep -q PROBE_OK "$OUT/probe.log" || { echo 'relay still wedged; aborting'; exit 1; }
+  if grep -q PROBE_OK "$OUT/probe$attempt.log"; then PROBE_OK=1; break; fi
+  echo "probe attempt $attempt failed; backing off 120s"
+  sleep 120
+done
+[ "$PROBE_OK" = 1 ] || { echo 'relay still wedged; aborting'; exit 1; }
 
 # 1. driver bench (headline + realtime-feasibility fields)
 stage bench 2700 python bench.py
