@@ -29,7 +29,9 @@ METRIC = "1080p->4K interpolated output fps/chip (pyramid+warp+scale, bf16)"
 # the whole bench must finish inside this (driver-side patience; also the
 # backstop if the device lease wedges MID-run after a healthy probe)
 TOTAL_BUDGET_S = 2400
-PROBE_TIMEOUT_S = 300          # jax init + one trivial op, incl. slow relay
+PROBE_TIMEOUT_S = 480          # jax init + one trivial op, incl. slow relay
+                               # (measured r4: healthy-but-recovering relay
+                               # took 202-386 s just to init the backend)
 PROBE_ATTEMPTS = 3
 PROBE_BACKOFF_S = 60
 

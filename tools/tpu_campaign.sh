@@ -24,7 +24,9 @@ stage() {  # stage <name> <timeout_s> <cmd...>
 #    2026-08-19; a single-shot probe then aborts a whole campaign window)
 PROBE_OK=0
 for attempt in 1 2 3 4; do
-  stage "probe$attempt" 300 python -c "
+  # 480s: a healthy-but-recovering relay measured 202-386 s just to init
+  # the backend (2026-08-19 r4 session) — 300 s would call it wedged
+  stage "probe$attempt" 480 python -c "
 import jax, jax.numpy as jnp
 print('devices', jax.devices())
 print('PROBE_OK', float(jnp.ones((8,128)).sum()))"
