@@ -36,9 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--help", action="help",
                    help="Show this help message")
     p.add_argument("input", nargs="?", metavar="INPUT",
-                   help="input spec: raw RGBA file, *.y4m, synthetic:WxH, "
-                        "'-' for stdin, or follow:path[:idle_s] to tail a "
-                        "growing file (live ingest)")
+                   help="input spec: raw RGBA file, *.y4m, compressed video "
+                        "(*.mp4/*.avi/*.mkv/... or video:path, decoded via "
+                        "OpenCV), synthetic:WxH, '-' for stdin, or "
+                        "follow:path[:idle_s] to tail a growing file "
+                        "(live ingest)")
     p.add_argument("--input-width", type=int, default=0, metavar="WIDTH",
                    help="Input width (default: auto-detect)")
     p.add_argument("--input-height", type=int, default=0, metavar="HEIGHT",
@@ -57,8 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Interpolation blend factor (0.0-1.0, default: 0.5)")
     # TPU-build surface
     p.add_argument("--output", default=None, metavar="SINK",
-                   help="output: raw file, *.y4m, dir/ (PNGs), 'null' "
-                        "(default: null)")
+                   help="output: raw file, *.y4m, *.mp4/*.avi (OpenCV "
+                        "encode), dir/ (PNGs), 'null' (default: null)")
     p.add_argument("--y4m-chroma", choices=["444", "420"], default="444",
                    help="y4m output chroma: 444 (lossless) or 420 "
                         "(half the file size)")

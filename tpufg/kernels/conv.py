@@ -141,7 +141,7 @@ def conv3x3_s2(x: jax.Array, w: jax.Array, b: jax.Array,
                           compute_dtype=compute_dtype),
         grid=(n_ty, n_tx),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # full padded image
+            pl.BlockSpec(memory_space=pl.ANY),       # full padded image
             pl.BlockSpec((span_x, 3 * tw), lambda ty, tx: (0, 0)),
             pl.BlockSpec((3, cin * th, cin * span_y), lambda ty, tx: (0, 0, 0)),
             pl.BlockSpec((9, cout, cin), lambda ty, tx: (0, 0, 0)),
@@ -293,7 +293,7 @@ def conv3x3_chain(x: jax.Array, ws: tuple, bs: tuple,
                           n_tx=n_tx, img_h=h, img_w=wd,
                           relus=tuple(relus), compute_dtype=compute_dtype),
         grid=(n_ty, n_tx),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec((9, w.shape[0], w.shape[1]),
                         lambda ty, tx: (0, 0, 0)) for w in ws]
         + [pl.BlockSpec((w.shape[0], 1, 1), lambda ty, tx: (0, 0, 0))
