@@ -8,6 +8,13 @@ import pytest
 from tpufg.models import rife
 
 
+def _opt_like_const(lr, hidden):
+    """An opt-state template matching a constant-lr training run."""
+    init_state, _, _ = rife.make_train_step(lr)
+    _, opt_like = init_state(jax.random.PRNGKey(0), hidden)
+    return opt_like
+
+
 @pytest.fixture
 def triplet(rng):
     prev = jnp.asarray(rng.random((2, 4, 32, 48)).astype(np.float32))
@@ -320,13 +327,70 @@ class TestTrainCLI:
         # must be built with a schedule too (the run used --cosine)
         init_state, _, _ = rife.make_train_step(optax.constant_schedule(1e-4))
         _, opt_like = init_state(jax.random.PRNGKey(0), 16)
-        _, step = train.load_state(train._state_path(ckpt), opt_like)
+        _, step, _ = train.load_state(train._state_path(ckpt), opt_like)
         assert step == 3
         # resuming with --steps == the saved step: nothing to do
         assert train.main(args + ["--steps", "3", "--resume", ckpt]) == 1
         # true resume to the full horizon; final state records step 6
         assert train.main(args + ["--steps", "6", "--resume", ckpt]) == 0
-        _, step = train.load_state(train._state_path(ckpt), opt_like)
+        _, step, _ = train.load_state(train._state_path(ckpt), opt_like)
+        assert step == 6
+
+    def test_ema_step_math(self):
+        """make_train_step(ema_decay=d) returns exactly
+        d*ema + (1-d)*params' (computed on device, same op order)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        init_state, step, _ = rife.make_train_step(1e-3, ema_decay=0.9)
+        params, opt = init_state(jax.random.PRNGKey(0), 16)
+        k = jax.random.PRNGKey(1)
+        prev, curr, tgt = (
+            jax.random.uniform(jax.random.fold_in(k, i), (1, 4, 32, 48),
+                               dtype=jnp.float32) for i in range(3))
+        p1, _, ema1, _ = step(params, opt, params, prev, curr, tgt)
+        want = jax.tree_util.tree_map(
+            lambda e, p: e * 0.9 + p * (1.0 - 0.9), params, p1)
+        # compiled step may fuse the blend into FMAs — compare to f32 eps
+        for got, exp in zip(jax.tree_util.tree_leaves(ema1),
+                            jax.tree_util.tree_leaves(want)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_ema_trainer_end_to_end(self, tmp_path):
+        """--ema writes <ckpt>.ema.npz (a loadable head that differs from
+        the raw params), stores the average in the sidecar, and resume
+        continues it — including a resume WITHOUT --ema (the optimizer
+        state must survive the sidecar's extra leaves)."""
+        import os
+
+        import numpy as np
+
+        from tpufg.models import train
+        ckpt = str(tmp_path / "e.npz")
+        args = ["synthetic:64x64", "--batch", "2", "--crop", "32x48",
+                "--hidden", "16", "--checkpoint", ckpt, "--log-every", "2",
+                "--lr", "1e-2"]
+        assert train.main(args + ["--steps", "2", "--ema", "0.5"]) == 0
+        ep = train._ema_path(ckpt)
+        assert os.path.exists(ep)
+        raw = rife.load_params(ckpt)
+        ema = rife.load_params(ep)
+        # 2 steps at decay 0.5 from init: the average lags the raw params
+        diffs = [float(np.abs(a - b).max()) for a, b in zip(
+            jax.tree_util.tree_leaves(raw), jax.tree_util.tree_leaves(ema))]
+        assert max(diffs) > 0.0
+        # true resume keeps the average going (step 2 -> 4)
+        assert train.main(args + ["--steps", "4", "--ema", "0.5",
+                                  "--resume", ckpt]) == 0
+        _, step, saved_ema = train.load_state(
+            train._state_path(ckpt), _opt_like_const(1e-2, 16), ema_like=raw)
+        assert step == 4 and saved_ema is not None
+        # toggling --ema off on resume still restores the optimizer state
+        assert train.main(args + ["--steps", "6", "--resume", ckpt]) == 0
+        _, step, _ = train.load_state(
+            train._state_path(ckpt), _opt_like_const(1e-2, 16))
         assert step == 6
 
     def test_resume_without_sidecar_warm_restarts(self, tmp_path):

@@ -1061,6 +1061,7 @@ def make_train_step(
     ft: bool = False,
     flow_weight: float = 0.0,
     mask_weight: Optional[float] = None,
+    ema_decay: float = 0.0,
 ) -> tuple[Callable, Callable, optax.GradientTransformation]:
     """Returns (init_state, train_step, optimizer).
 
@@ -1081,6 +1082,14 @@ def make_train_step(
     gains a trailing ``sup`` dict (see loss_fn2_sup) and the returned loss
     becomes (total, photo, flow).  ``mask_weight`` defaults to
     flow_weight / 5.  Mutually exclusive with ``ft``.
+
+    ``ema_decay`` > 0: the step additionally maintains an exponential
+    moving average of the parameters (Polyak averaging — the evaluation
+    weights of most modern vision training recipes).  The step signature
+    gains a trailing ``ema`` pytree (same structure as params, seeded
+    from the initial params) and returns it updated:
+    ``ema' = ema_decay * ema + (1 - ema_decay) * params'``.  The update
+    runs inside the jitted step, so the average lives on device.
     """
     if arch not in ("v1", "v2", "v3"):
         raise ValueError(f"arch must be v1, v2 or v3, got {arch!r}")
@@ -1135,4 +1144,23 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, (loss, photo, flow)
 
+    if ema_decay > 0.0:
+        d = float(ema_decay)
+
+        def _ema(ema, params):
+            return jax.tree_util.tree_map(
+                lambda e, p: e * d + p * (1.0 - d), ema, params)
+
+        def _step_ema(params, opt_state, ema, prev, curr, target):
+            params, opt_state, loss = _step(
+                params, opt_state, prev, curr, target)
+            return params, opt_state, _ema(ema, params), loss
+
+        def _step_sup_ema(params, opt_state, ema, prev, curr, target,
+                          sup_batch):
+            params, opt_state, loss = _step_sup(
+                params, opt_state, prev, curr, target, sup_batch)
+            return params, opt_state, _ema(ema, params), loss
+
+        return init_state, jax.jit(_step_sup_ema if sup else _step_ema), opt
     return init_state, jax.jit(_step_sup if sup else _step), opt

@@ -202,6 +202,14 @@ def main(argv=None) -> int:
                    help="drop triplets whose outer frames differ by mean "
                         "|d| > T (0..1 units): shot-change triplets have "
                         "no motion ground truth (0 = keep all)")
+    p.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
+                   help="maintain an exponential moving average of the "
+                        "parameters (Polyak averaging; e.g. 0.999) and "
+                        "write it to <checkpoint>.ema.npz alongside the "
+                        "raw checkpoint — evaluate both and ship the "
+                        "better (0 = off).  Resuming continues the "
+                        "average from the sidecar state when the saving "
+                        "run also used --ema")
     p.add_argument("--flow-weight", type=float, default=0.0,
                    help="analytic flow-supervision weight (synth input "
                         "only — the procedural renderer is the teacher; "
@@ -275,22 +283,28 @@ def main(argv=None) -> int:
     supervised = args.flow_weight > 0
     init_state, train_step, _ = rife.make_train_step(
         lr, mesh=mesh, arch=args.arch, ft=args.ft,
-        flow_weight=args.flow_weight)
+        flow_weight=args.flow_weight, ema_decay=args.ema)
     params, opt_state = init_state(jax.random.PRNGKey(0), args.hidden)
+    ema = params if args.ema > 0 else None  # seeded from the init params
     start_step = 0
     if args.resume:
         import os
 
         params = load_pytree(args.resume, params)
+        if args.ema > 0:
+            ema = params  # re-seed; sidecar overrides when compatible
         log.info(f"resumed parameters from {args.resume}")
         sp = _state_path(args.resume)
         if os.path.exists(sp):
             try:
-                opt_state, start_step = load_state(sp, opt_state)
+                opt_state, start_step, saved_ema = load_state(
+                    sp, opt_state, ema_like=params)
             except ValueError as e:
                 log.warning(f"train state {sp} incompatible ({e}); "
                             "warm restart (fresh optimizer, step 0)")
             else:
+                if args.ema > 0 and saved_ema is not None:
+                    ema = saved_ema
                 log.info(f"resumed optimizer state at step {start_step} "
                          f"(lr schedule continues; --steps is the TOTAL "
                          f"horizon — pass the original value)")
@@ -328,11 +342,15 @@ def main(argv=None) -> int:
 
     def save(step_i):
         """Write the params checkpoint plus the sidecar train state
-        (optimizer state + step) that makes --resume a TRUE resume."""
+        (optimizer state + step, and the --ema average when on) that
+        makes --resume a TRUE resume; --ema also writes the averaged
+        parameters to <checkpoint>.ema.npz as a ready-to-eval head."""
         save_pytree(args.checkpoint, run.params)
-        save_pytree(_state_path(args.checkpoint),
-                    {"opt": run.opt_state,
-                     "step": np.asarray(step_i, np.int64)})
+        state = {"opt": run.opt_state, "step": np.asarray(step_i, np.int64)}
+        if run.ema is not None:
+            state["ema"] = run.ema
+            save_pytree(_ema_path(args.checkpoint), run.ema)
+        save_pytree(_state_path(args.checkpoint), state)
 
     def run():
         t0 = time.perf_counter()
@@ -344,15 +362,21 @@ def main(argv=None) -> int:
                 prev, target, curr = b
             step_args = [run.params, run.opt_state, jnp.asarray(prev),
                          jnp.asarray(curr), jnp.asarray(target)]
+            if run.ema is not None:
+                step_args.insert(2, run.ema)
             if supervised:
                 step_args.append({k: jnp.asarray(b[k]) for k in
                                   ("flow4", "vp4", "vc4", "flow8", "vp8",
                                    "vc8") if k in b})
-                params_, opt_state_, (loss, photo, flow) = train_step(
-                    *step_args)
+            out = train_step(*step_args)
+            if run.ema is not None:
+                params_, opt_state_, run.ema, loss = out
+            else:
+                params_, opt_state_, loss = out
+            if supervised:
+                loss, photo, flow = loss
                 losses.append((float(loss), float(photo), float(flow)))
             else:
-                params_, opt_state_, loss = train_step(*step_args)
                 losses.append((float(loss),))
             run.params, run.opt_state = params_, opt_state_
             if step_i % args.log_every == 0:
@@ -373,7 +397,7 @@ def main(argv=None) -> int:
         log.warning("sources exhausted before --steps; stopping")
         return losses
 
-    run.params, run.opt_state = params, opt_state
+    run.params, run.opt_state, run.ema = params, opt_state, ema
     ctx = mesh if mesh is not None else _nullcontext()
     with ctx:
         losses = run()
@@ -394,17 +418,36 @@ def _state_path(ckpt: str) -> str:
     return os.path.splitext(ckpt)[0] + ".state.npz"
 
 
-def load_state(path: str, opt_like) -> tuple:
-    """Restore a sidecar train state -> (opt_state, step).
+def _ema_path(ckpt: str) -> str:
+    """The --ema averaged-parameters checkpoint next to the raw one."""
+    import os
+
+    return os.path.splitext(ckpt)[0] + ".ema.npz"
+
+
+def load_state(path: str, opt_like, ema_like=None) -> tuple:
+    """Restore a sidecar train state -> (opt_state, step, ema | None).
 
     ``opt_like`` must come from an optimizer CONFIGURED LIKE the saving
     run's (the state structure differs between a schedule and a constant
-    lr); raises ValueError on structure mismatch."""
+    lr); raises ValueError on structure mismatch.  Both sidecar layouts
+    (with and without the ``--ema`` average — ``ema_like`` is the params
+    template) are tried, so a run can toggle ``--ema`` across resumes
+    without losing its optimizer state."""
     from tpufg.utils.checkpoint import load_pytree
 
-    st = load_pytree(path, {"opt": opt_like,
-                            "step": np.asarray(0, np.int64)})
-    return st["opt"], int(st["step"])
+    tmpl = {"opt": opt_like, "step": np.asarray(0, np.int64)}
+    attempts = ([{**tmpl, "ema": ema_like}] if ema_like is not None else [])
+    attempts.append(tmpl)
+    err = None
+    for t in attempts:
+        try:
+            st = load_pytree(path, t)
+        except ValueError as e:
+            err = e
+            continue
+        return st["opt"], int(st["step"]), st.get("ema")
+    raise err
 
 
 class _nullcontext:
