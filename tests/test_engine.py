@@ -964,3 +964,16 @@ class TestMotionSkipAlpha:
         with Y4MSink(p, 16, 16, fps=30) as s:
             s.write(np.zeros((16, 16, 4), np.uint8))
         assert Y4MSource(p).const_alpha is True
+
+
+def test_measure_paced_rate_smoke():
+    """Adaptive paced-demo calibration: p50 host-visible step seconds at
+    small shapes must be a positive finite float (the campaign's
+    paced_cal stage divides by it to pick the demo rate)."""
+    from tpufg.config import EngineConfig, resolve_sizes
+    from tpufg.engine.runner import measure_paced_rate
+    cfg = resolve_sizes(EngineConfig(
+        input_width=64, input_height=48, output_width=128,
+        output_height=96, target_fps=24, fps_multiplier=2))
+    s = measure_paced_rate(cfg, n=3)
+    assert s > 0.0 and np.isfinite(s)

@@ -611,3 +611,60 @@ class TestIFNet3:
         b = rng.integers(0, 256, (48, 64, 4), dtype=np.uint8)
         out_i, out_c = step(jnp.asarray(a), jnp.asarray(b))
         assert out_i.shape == (96, 128, 4)
+
+
+class TestFlowTScaling:
+    """k>2 time points: the tails must t-scale the midpoint-trained flows.
+
+    The heads are trained exclusively at t=0.5, so their flow channels are
+    the motions FROM the midpoint (fp ≈ −V/2, fc ≈ +V/2 for pair velocity
+    V).  A frame at time t needs fp·2t / fc·2(1−t) (rife._flow_t_scales).
+    Before the r4 fix every in-between of a k>2 stream warped with the
+    midpoint flows (measured on chip as a 3.9 dB learned-row deficit at
+    --mult 3/4 vs k=2 — artifacts/tpu_campaign_r4d2 eval_mult logs).
+
+    The fixture is analytic: a linear ramp translating with constant V,
+    crafted trunk output holding the exact midpoint flows, so every tail
+    must reproduce the ramp at position −t·V exactly (bilinear sampling
+    of a linear function is exact away from clamped edges)."""
+
+    V = (4.0, 2.0)  # (dx, dy) pixels per pair
+    H = W = 64
+
+    def _ramp(self, shift=(0.0, 0.0)):
+        c = np.arange(4, dtype=np.float32)[:, None, None]
+        y = np.arange(self.H, dtype=np.float32)[None, :, None] - shift[1]
+        x = np.arange(self.W, dtype=np.float32)[None, None, :] - shift[0]
+        return 0.2 + 0.1 * c + 0.002 * x + 0.0015 * y
+
+    def _trunk_out(self):
+        hq, wq = self.H // 4, self.W // 4
+        out = np.zeros((5, hq, wq), np.float32)
+        out[0] = -0.5 * self.V[0] / 4.0   # dxp in quarter-res units
+        out[1] = -0.5 * self.V[1] / 4.0
+        out[2] = 0.5 * self.V[0] / 4.0
+        out[3] = 0.5 * self.V[1] / 4.0
+        return jnp.asarray(out)
+
+    def test_t_half_scales_are_exact_unity(self):
+        assert rife._flow_t_scales(0.5) == (1.0, 1.0)
+
+    @pytest.mark.parametrize("t", [0.25, 1.0 / 3.0, 0.5, 2.0 / 3.0, 0.75])
+    @pytest.mark.parametrize("tail", ["fast", "smooth", "ft"])
+    def test_constant_velocity_any_t(self, tail, t):
+        prev = jnp.asarray(self._ramp())
+        curr = jnp.asarray(self._ramp(self.V))
+        truth = self._ramp((t * self.V[0], t * self.V[1]))
+        out = self._trunk_out()
+        if tail == "fast":
+            got = rife.tail_fast({}, out, prev, curr, t,
+                                 dtype=jnp.float32, integer_flow=False)
+        elif tail == "smooth":
+            got = rife._smooth_tail(out[None], prev[None], curr[None],
+                                    t)[0]
+        else:
+            got = rife._ft_tail(out[None], prev[None], curr[None], t,
+                                integer_flow=False)[0]
+        m = 8  # interior margin beyond every scaled offset + lerp tap
+        np.testing.assert_allclose(np.asarray(got)[:, m:-m, m:-m],
+                                   truth[:, m:-m, m:-m], atol=5e-5)

@@ -75,8 +75,32 @@ stage profile_k4 1800 python tools/profile_step.py --mode learned -k 4 \
 #    readback sustains (640x480 C420 at 48 out-fps = 22 MB/s).  The
 #    runner's final line records deadlines met — demonstrated pacing,
 #    not arithmetic from trace percentiles.
+#
+#    The rate is ADAPTIVE: paced mode syncs every frame, so its ceiling
+#    is host-visible latency — which swings 28-116 ms with relay weather
+#    (the r4d2 demo ran a fixed 24 fps into a 116 ms-sync day and met
+#    0/238 deadlines).  A calibration stage measures the p50 host-visible
+#    step at the demo shape and picks 80% of that ceiling, capped at the
+#    24 fps the fixed demo used, so the artifact demonstrates SUSTAINED
+#    pacing at whatever this host can actually do today.
+stage paced_cal 900 python -c "
+from tpufg.config import EngineConfig, resolve_sizes
+from tpufg.engine.runner import measure_paced_rate
+cfg = resolve_sizes(EngineConfig(
+    input_width=320, input_height=240, output_width=640,
+    output_height=480, target_fps=24, fps_multiplier=2))
+s = measure_paced_rate(cfg)
+# pacing deadlines are per INPUT frame (runner: frame_period =
+# 1/target_fps), so the ceiling is 1/s steps/s
+fps = max(1, min(24, int(0.8 / s)))
+print(f'p50 host-visible step {s*1e3:.1f} ms -> ceiling '
+      f'{1.0/s:.1f} steps/s -> demo input fps {fps}')
+print(fps)"
+FPS=$(tail -1 "$OUT/paced_cal.log" | tr -d '[:space:]')
+case "$FPS" in ''|*[!0-9]*) FPS=4;; esac
+echo "paced demo at input fps $FPS"
 stage paced_demo 1200 python -m tpufg.cli synthetic:320x240 \
-  --output-width 640 --output-height 480 --target-fps 24 \
+  --output-width 640 --output-height 480 --target-fps "$FPS" \
   --fps-multiplier 2 --frames 240 --output "$OUT/paced_demo.y4m" \
   --y4m-chroma 420
 stage paced_demo_rm 60 rm -f "$OUT/paced_demo.y4m"

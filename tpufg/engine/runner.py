@@ -348,6 +348,46 @@ def measure_step_rate(cfg: EngineConfig, n: int = 6) -> float:
     return max(1, n) / dt if dt > 0 else 0.0
 
 
+def measure_paced_rate(cfg: EngineConfig, n: int = 12) -> float:
+    """p50 HOST-VISIBLE seconds per input frame of the paced loop: one
+    step enqueue + full output readback per iteration (no pipelining —
+    conservative vs run()'s one-slot overlap, on purpose: the result
+    gates a real-time rate choice).
+
+    Paced mode syncs every frame, so its ceiling is host-visible latency
+    (through a relay: tens of ms), NOT the enqueued steady rate
+    :func:`measure_step_rate` reports — on a relay-attached host the two
+    differ by an order of magnitude (bench.py's host_sync_ms_p50 vs
+    per_output_frame_ms_steady fields measure the same split).  The
+    campaign's paced-demo stage uses this to pick a demonstrable rate
+    instead of failing every deadline on a high-RTT day (the r4d2 demo
+    ran a fixed 24 fps into 116 ms syncs: 0/238 deadlines met)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpufg.engine.pipeline import make_interp_step
+
+    step = make_interp_step(cfg, wire="i32")
+    rng = np.random.default_rng(0)
+    h, w = cfg.input_height, cfg.input_width
+    fr = [jax.device_put(jnp.asarray(
+        rng.integers(0, 2**32, (h, w), dtype=np.uint32).view(np.int32)
+        .reshape(h, w))) for _ in range(2)]
+
+    def one():
+        p, c = fr[0] + 0, fr[1] + 0
+        outs = step(p, c)
+        return [np.asarray(o) for o in outs]  # full host readback
+
+    one()  # warmup/compile
+    durs = []
+    for _ in range(max(1, n)):
+        t0 = time.perf_counter()
+        one()
+        durs.append(time.perf_counter() - t0)
+    return float(np.percentile(durs, 50))
+
+
 def run_stream(cfg: EngineConfig, source: FrameSource, sink: FrameSink,
                precision: str = "fast", max_frames: Optional[int] = None,
                paced: bool = True, model_params=None,

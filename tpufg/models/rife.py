@@ -224,15 +224,31 @@ def _ft_tail(out: jax.Array, prev: jax.Array, curr: jax.Array, t: float,
           + out[:, :, 2::4][:, :, :nh] * F32(0.625))
     lat = (ry[:, :, :, 1::4][:, :, :, :nw] * F32(0.375)
            + ry[:, :, :, 2::4][:, :, :, :nw] * F32(0.625))
-    flow_p = _block_flow(lat[:, 0:2] * F32(SCALE), float(max_flow), grid,
-                         integer_flow)
-    flow_c = _block_flow(lat[:, 2:4] * F32(SCALE), float(max_flow), grid,
-                         integer_flow)
+    sp, sc = _flow_t_scales(t)
+    flow_p = _block_flow(lat[:, 0:2] * F32(SCALE * sp), float(max_flow),
+                         grid, integer_flow)
+    flow_c = _block_flow(lat[:, 2:4] * F32(SCALE * sc), float(max_flow),
+                         grid, integer_flow)
     mask = jax.nn.sigmoid(jax.image.resize(
         out[:, 4:5], (b, 1, hq * SCALE, wq * SCALE), "bilinear"))
     warped_p = bilinear_warp(prev.astype(F32), flow_p)
     warped_c = bilinear_warp(curr.astype(F32), flow_c)
     return _fuse(warped_p, warped_c, mask, t)
+
+
+def _flow_t_scales(t: float) -> tuple[float, float]:
+    """Per-side flow scale factors for an arbitrary time point.
+
+    The heads are trained exclusively at the triplet midpoint, so their
+    flow channels are the motions FROM t=0.5: fp ≈ −V/2, fc ≈ +V/2 for a
+    constant pair velocity V.  The frame at time t needs −t·V toward prev
+    and (1−t)·V toward curr, i.e. fp·2t and fc·2(1−t).  Both factors are
+    exactly 1.0 at t=0.5 (a multiply by 1.0f is exact), so the k=2
+    deployment/eval path is bitwise-unchanged; only k>2 time points move.
+    Measured motivation: before this scaling the k=3/4 learned rows
+    warped every in-between with the MIDPOINT flows (r4d2 campaign:
+    36.97/36.91 dB vs 40.83 at k=2 on the same corpus)."""
+    return 2.0 * float(t), 2.0 * (1.0 - float(t))
 
 
 def _fuse(warped_p, warped_c, mask, t):
@@ -250,9 +266,10 @@ def _smooth_tail(out: jax.Array, prev: jax.Array, curr: jax.Array,
     (same math _trunk + forward always computed, factored so the
     supervised losses can reuse the head output they also supervise)."""
     b, _, hq, wq = out.shape
+    sp, sc = _flow_t_scales(t)
     full = jax.image.resize(out, (b, 5, hq * SCALE, wq * SCALE), "bilinear")
-    warped_p = bilinear_warp(prev.astype(F32), full[:, 0:2] * F32(SCALE))
-    warped_c = bilinear_warp(curr.astype(F32), full[:, 2:4] * F32(SCALE))
+    warped_p = bilinear_warp(prev.astype(F32), full[:, 0:2] * F32(SCALE * sp))
+    warped_c = bilinear_warp(curr.astype(F32), full[:, 2:4] * F32(SCALE * sc))
     return _fuse(warped_p, warped_c, jax.nn.sigmoid(full[:, 4:5]), t)
 
 
@@ -351,8 +368,11 @@ def _fast_tail(out, prev, curr, t, grid, max_flow, dtype, integer_flow):
           + out[:, 2::4, :][:, :nh] * F32(0.625))
     lat = (ry[:, :, 1::4][:, :, :nw] * F32(0.375)
            + ry[:, :, 2::4][:, :, :nw] * F32(0.625))
-    fp = lat[0:2] * F32(SCALE)
-    fc = lat[2:4] * F32(SCALE)
+    # per-side t-scaling of the midpoint-trained flows (_flow_t_scales:
+    # exact no-op at t=0.5, the k>2 fix for the r4d2 multi-rate deficit)
+    sp, sc = _flow_t_scales(t)
+    fp = lat[0:2] * F32(SCALE * sp)
+    fc = lat[2:4] * F32(SCALE * sc)
     # mask upsample as a banded-MXU matmul pair instead of
     # jax.image.resize: a separable bilinear upsample IS two banded
     # matmuls (the lanczos-kernel idiom), and resize's gather-style
@@ -854,10 +874,11 @@ def trunk_fast(params: dict, prev: jax.Array, curr: jax.Array,
     """t-INDEPENDENT inference trunk output [5, H/4, W/4] (any arch).
 
     The learned heads' flows/mask depend only on the frame pair — the
-    tail scales them by t — so a k-fps-multiplying engine step computes
-    the trunk ONCE per pair and runs only the tail per time point
-    (k-1 tails instead of k-1 full heads; relying on XLA CSE to merge
-    k-1 structurally identical trunks is not a contract).
+    tail scales the midpoint-trained flows per side (_flow_t_scales) and
+    fuses with t-biased weights — so a k-fps-multiplying engine step
+    computes the trunk ONCE per pair and runs only the tail per time
+    point (k-1 tails instead of k-1 full heads; relying on XLA CSE to
+    merge k-1 structurally identical trunks is not a contract).
 
     ``p4``/``c4``/``f4p``/``f4c``: the engine's per-frame stream cache
     (v2 uses the quarter frames; v3 also the encoder features)."""
