@@ -668,3 +668,23 @@ class TestFlowTScaling:
         m = 8  # interior margin beyond every scaled offset + lerp tap
         np.testing.assert_allclose(np.asarray(got)[:, m:-m, m:-m],
                                    truth[:, m:-m, m:-m], atol=5e-5)
+
+
+class TestTailsFast:
+    """tails_fast(ts) must equal [tail_fast(t) for t in ts] bitwise: the
+    multi-t form shares the t-independent prep (lattice, mask upsample,
+    banded warp prep) across time points but runs the same ops per t."""
+
+    @pytest.mark.parametrize("arch", ["v1", "v3"])
+    def test_multi_t_matches_per_t(self, rng, arch):
+        init = {"v1": rife.init_params, "v3": rife.init_params3}[arch]
+        params = init(jax.random.PRNGKey(3), hidden=16)
+        # W=80: not a 128 multiple — exercises the tails-level column pad
+        prev = jnp.asarray(rng.random((4, 48, 80)).astype(np.float32))
+        curr = jnp.asarray(rng.random((4, 48, 80)).astype(np.float32))
+        out = rife.trunk_fast(params, prev, curr)
+        ts = (0.25, 0.5, 0.75)
+        multi = rife.tails_fast(params, out, prev, curr, ts)
+        for t, m in zip(ts, multi):
+            single = rife.tail_fast(params, out, prev, curr, t)
+            assert np.array_equal(np.asarray(m), np.asarray(single)), t

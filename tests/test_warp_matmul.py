@@ -152,3 +152,39 @@ class TestBoxDownsample:
     def test_odd_dims_rejected(self, rng):
         with pytest.raises(ValueError):
             box_downsample2(jnp.zeros((1, 7, 8)))
+
+
+class TestSinglePrepareBanded:
+    """warp_single_prepare + warp_single_banded == the inline single-mode
+    warp, bitwise, in every value domain (centered reals f32/bf16,
+    centered integer codes) — the split exists so k>2 learned tails pay
+    the flow-independent pad+band construction once per frame."""
+
+    @pytest.mark.parametrize("io,u8", [(False, False), (True, True),
+                                       (True, False)])
+    @pytest.mark.parametrize("dt", [jnp.float32, jnp.bfloat16])
+    def test_bitwise_vs_inline(self, rng, io, u8, dt):
+        from tpufg.kernels.warp_matmul import (warp_blend_matmul,
+                                               warp_single_banded,
+                                               warp_single_prepare)
+        f = jnp.asarray(
+            np.round(rng.random((4, 64, 256)).astype(np.float32) * 255)
+            / np.float32(255))
+        mv = rng.uniform(-8, 8, (2, 4, 16)).astype(np.float32)
+        if io:
+            mv = np.round(mv)
+        mv = jnp.asarray(mv)
+        kw = dict(block=16, search_radius=8, dtype=dt,
+                  integer_offsets=io, u8_exact=u8)
+        a = warp_blend_matmul(f, f, mv, single=True, **kw)
+        b = warp_single_banded(warp_single_prepare(f, **kw), mv, **kw)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_geometry_mismatch_rejected(self, rng):
+        from tpufg.kernels.warp_matmul import (warp_single_banded,
+                                               warp_single_prepare)
+        f = jnp.asarray(rng.random((4, 64, 256)).astype(np.float32))
+        bands = warp_single_prepare(f, block=16, search_radius=8)
+        mv = jnp.zeros((2, 4, 16), jnp.float32)
+        with pytest.raises(ValueError, match="geometry"):
+            warp_single_banded(bands, mv, block=16, search_radius=16)

@@ -217,14 +217,14 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
                 p4 = rife._down4_mean(pp[None])[0]
                 f4p = rife.encode3(model_params, pp[None],
                                    dtype=_jnp.bfloat16, fast=True)[0]
-            # the trunk is t-independent: ONE trunk per pair, one tail
-            # per time point (k-1 tails at --fps-multiplier k)
+            # the trunk is t-independent: ONE trunk per pair, and
+            # tails_fast shares the per-pair warp prep across the k-1
+            # time points (k-1 t-scaled warps at --fps-multiplier k)
             out = rife.trunk_fast(model_params, pp, cp, p4=p4, c4=c4,
                                   f4p=f4p, f4c=f4c)
-            for tf in factors:
-                interps.append(cut_fallback(
-                    rife.tail_fast(model_params, out, pp, cp,
-                                   tf)[:, :h, :w], tf))
+            for tf, tail in zip(factors, rife.tails_fast(
+                    model_params, out, pp, cp, factors)):
+                interps.append(cut_fallback(tail[:, :h, :w], tf))
             return (interps, (c4, f4c)) if return_q else interps
         if rife.is_v2(model_params):
             # v2 stage-2 quarter frames: curr's is computed ONCE here
@@ -236,16 +236,14 @@ def interp_planar(p, c, *, mode: str, factors, dt, block_size: int,
             p4 = q_seed if q_seed is not None \
                 else rife._down4_mean(pp[None])[0]
             out = rife.trunk_fast(model_params, pp, cp, p4=p4, c4=c4)
-            for tf in factors:
-                interps.append(cut_fallback(
-                    rife.tail_fast(model_params, out, pp, cp,
-                                   tf)[:, :h, :w], tf))
+            for tf, tail in zip(factors, rife.tails_fast(
+                    model_params, out, pp, cp, factors)):
+                interps.append(cut_fallback(tail[:, :h, :w], tf))
             return (interps, c4) if return_q else interps
         out = rife.trunk_fast(model_params, pp, cp)
-        for tf in factors:
-            interps.append(cut_fallback(
-                rife.tail_fast(model_params, out, pp, cp, tf)[:, :h, :w],
-                tf))
+        for tf, tail in zip(factors, rife.tails_fast(
+                model_params, out, pp, cp, factors)):
+            interps.append(cut_fallback(tail[:, :h, :w], tf))
         return (interps, None) if return_q else interps
     # pad to the motion/warp lattice (pyramid needs grid*2^(L-1))
     mult = MV_GRID * 2 ** (PYR_LEVELS - 1)

@@ -54,9 +54,47 @@ FB_LO = 0.5
 FB_HI = 1.0
 
 
+def _build_bands(ext, *, g, halo, n_by, dtype, max_off):
+    """Flow-independent overlapping row bands of an edge-padded frame.
+
+    Band ``by`` covers ext rows [by*g, by*g + g + 2*halo) = global
+    [by*g - halo, by*g + g + halo), built from g-row groups with shifted
+    slices + concat (a plain XLA gather materializes ~140 MB/frame and
+    measured ~5x slower), then trimmed to the 8-aligned window the
+    vertical pass actually reads (17% less band/einsum traffic at the
+    default halo=16, eff_r=8).
+
+    Factored out of :func:`_warp_one` so single-mode callers can compute
+    it ONCE per frame and reuse it across several flow fields — a k-fps-
+    multiplying learned tail warps the same pair at k-1 time points.
+    Measured on chip (k=4, 4K->4K): a WASH vs inline (55.91 vs
+    55.92 ms/step) — XLA already CSE'd the identical prep subgraphs
+    across the time points; the explicit split is kept because it makes
+    the sharing deterministic instead of an optimizer courtesy, at zero
+    cost.  Returns (bands [C, n_by, R', We], band_rows, halo_v).
+    """
+    c = ext.shape[0]
+    we = ext.shape[-1]
+    band_rows = g + 2 * halo  # rows a band's blocks reach (|off|<=halo-1)
+    n_seg = band_rows // g
+    assert band_rows % g == 0 and ext.shape[1] % g == 0
+    groups = ext.astype(dtype).reshape(c, ext.shape[1] // g, g, we)
+    lo = max(0, (halo - max_off) // 8 * 8)
+    hi = min(band_rows, -(-(halo + max_off + g + 1) // 8) * 8)
+    halo_v = halo - lo             # vertical-slice origin within bands
+    # one joint band tensor, segment slices taken afterwards.  (Banding
+    # the two 128-col segments separately — to skip the slice copies —
+    # measured 5.10 vs 4.52 ms/step: the duplicated concat reads cost
+    # more than the two slice materializations they save.)
+    bands = jnp.concatenate(
+        [groups[:, i:i + n_by] for i in range(n_seg)], axis=2
+    )[:, :, lo:hi]                                        # [C, n_by, R', We]
+    return bands, hi - lo, halo_v
+
+
 def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
               dtype, prec, max_off, integer_offsets=False,
-              obmc=False, halo_r=None):
+              obmc=False, halo_r=None, bands=None):
     """Warp one frame by per-block offsets.
 
     (A batched variant warping prev+curr in one pass with a leading frame
@@ -85,13 +123,18 @@ def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
     structure is identical — the horizontal shift matrices were already
     per-column and the vertical one-hot mask per-(band, column); only the
     band geometry and the final blend differ.
+
+    ``bands``: optional precomputed (bands, band_rows, halo_v) from
+    :func:`_build_bands` (non-obmc only); ``ext`` may then be None.
     """
-    c = ext.shape[0]
-    we = ext.shape[-1]
+    src = ext if bands is None else bands[0]
+    c = src.shape[0]
+    we = src.shape[-1]
     one = jnp.asarray(1.0, dtype)
     zero = jnp.asarray(0.0, dtype)
 
     if obmc:
+        assert bands is None  # per-column geometry; no precomputed form
         # bands of 2g output rows centered on MV sites (c_j = j*g + g/2),
         # built from 8-row groups at stride g (origin j*g + lo)
         hr = halo_r
@@ -112,33 +155,14 @@ def _warp_one(ext, ix0, fx, iy0, fy, *, g, halo, n_by, n_bx, h, w,
         sx, fxc = ix0, fx              # already per-column [n_by, W]
     else:
         out_rows = g
-        band_rows = g + 2 * halo  # rows a band's blocks reach (|off|<=halo-1)
-
-        # --- overlapping row bands: band by covers ext rows
-        # [by*g, by*g + band_rows) = global [by*g - halo, by*g + g + halo).
-        # Built from g-row groups with shifted slices + concat (a plain XLA
-        # gather materializes ~140 MB/frame and measured ~5x slower).
-        n_seg = band_rows // g
-        assert band_rows % g == 0 and ext.shape[1] % g == 0
-        groups = ext.astype(dtype).reshape(c, ext.shape[1] // g, g, we)
-
-        # only band rows [halo-max_off, halo+max_off+g+1) are ever read by
-        # the vertical pass below; trim to the enclosing 8-aligned window
-        # before the einsums (17% less band/einsum/hx traffic at the
-        # default halo=16, eff_r=8 — XLA folds the slice into the concat
-        # operands)
-        lo = max(0, (halo - max_off) // 8 * 8)
-        hi = min(band_rows, -(-(halo + max_off + g + 1) // 8) * 8)
-        band_rows = hi - lo
-        halo_v = halo - lo             # vertical-slice origin within bands
-
-        # one joint band tensor, segment slices taken afterwards.  (Banding
-        # the two 128-col segments separately — to skip the slice copies —
-        # measured 5.10 vs 4.52 ms/step: the duplicated concat reads cost
-        # more than the two slice materializations they save.)
-        bands = jnp.concatenate(
-            [groups[:, i:i + n_by] for i in range(n_seg)], axis=2
-        )[:, :, lo:hi]                                    # [C, n_by, R', We]
+        # overlapping row bands (see _build_bands); precomputed and reused
+        # across flow fields when the caller warps the same frame several
+        # times (warp_single_prepare / warp_single_banded)
+        if bands is None:
+            bands, band_rows, halo_v = _build_bands(
+                ext, g=g, halo=halo, n_by=n_by, dtype=dtype, max_off=max_off)
+        else:
+            bands, band_rows, halo_v = bands
 
         sx = jnp.repeat(ix0, g, axis=1)                   # [n_by, W]
         fxc = jnp.repeat(fx, g, axis=1)
@@ -427,3 +451,114 @@ def warp_blend_matmul(
     crossfade = (prev.astype(F32) * (F32(1.0) - t)
                  + curr.astype(F32) * t)
     return out * (F32(1.0) - wfb) + crossfade * wfb
+
+
+def _single_halo(g: int, r: int) -> int:
+    """Single-mode band halo (eff_r == r; warp_blend_matmul's derivation)."""
+    halo = round_up(r + 2, 8)
+    while (2 * halo) % g:   # band construction needs g | 2*halo
+        halo += 8
+    if halo > 63:
+        raise ValueError("search radius too large for the 256-col window")
+    return halo
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block", "search_radius", "dtype", "integer_offsets",
+                     "u8_exact"),
+)
+def warp_single_prepare(
+    frame: jax.Array,
+    block: int = 16,
+    search_radius: int = 16,
+    dtype=jnp.float32,
+    integer_offsets: bool = False,
+    u8_exact: bool = False,
+) -> jax.Array:
+    """FLOW-INDEPENDENT half of a single-mode warp: the centered, edge-
+    padded, banded frame representation (``_build_bands``).
+
+    ``warp_single_banded(warp_single_prepare(f, **kw), mv, **kw)`` is
+    bitwise-identical to ``warp_blend_matmul(f, f, mv, single=True,
+    **kw)`` — same ops in the same order, just split so a caller warping
+    ONE frame by SEVERAL flow fields (the k-fps-multiplying learned tail:
+    k-1 t-scaled flows per side) shares the pad+band construction by
+    CONSTRUCTION.  Measured on chip at k=4 4K->4K this is a wash vs the
+    inline form (XLA already CSE'd the identical subgraphs; the per-line
+    profile that suggested a 16 ms duplicated prefix was fusion
+    mis-attribution — the remaining 56 ms is genuinely per-t warp work:
+    distinct t-scaled flows need distinct one-hot shifts).
+
+    Requires W % 128 == 0 (edge-pad the columns first — exactly what
+    warp_blend_matmul does internally for other widths) and H % block
+    == 0.  The same (block, search_radius, dtype, integer_offsets,
+    u8_exact) must be passed to both halves: the banded layout and the
+    value domain (centered reals vs centered integer codes) depend on
+    them.
+    """
+    n_ch, h, w = frame.shape
+    g = int(block)
+    r = int(search_radius)
+    if h % g or w % 128 or w % g:
+        raise ValueError(f"frame {h}x{w}: need H%{g}==0, W%128==0, W%{g}==0")
+    halo = _single_halo(g, r)
+    int_domain = bool(u8_exact) and integer_offsets
+    v = (jnp.round(frame.astype(F32) * F32(255.0)) - F32(128.0)
+         if int_domain else frame.astype(F32) - F32(0.5))
+    ext = jnp.pad(v.astype(dtype),
+                  ((0, 0), (halo, halo), (halo, 128 - halo)), mode="edge")
+    bands, _, _ = _build_bands(ext, g=g, halo=halo, n_by=h // g,
+                               dtype=dtype, max_off=r)
+    return bands
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block", "search_radius", "dtype", "integer_offsets",
+                     "u8_exact"),
+)
+def warp_single_banded(
+    bands: jax.Array,
+    mv: jax.Array,
+    block: int = 16,
+    search_radius: int = 16,
+    dtype=jnp.float32,
+    integer_offsets: bool = False,
+    u8_exact: bool = False,
+) -> jax.Array:
+    """FLOW-DEPENDENT half of a single-mode warp on a precomputed banded
+    frame (see :func:`warp_single_prepare` for the contract)."""
+    g = int(block)
+    r = int(search_radius)
+    c, n_by, br, we = bands.shape
+    w = we - 128
+    h = n_by * g
+    n_bx = w // g
+    if mv.shape != (2, n_by, n_bx):
+        raise ValueError(f"mv shape {mv.shape} != (2, {n_by}, {n_bx})")
+    halo = _single_halo(g, r)
+    # recompute _build_bands' trim geometry; validate against the tensor
+    band_rows0 = g + 2 * halo
+    lo = max(0, (halo - r) // 8 * 8)
+    hi = min(band_rows0, -(-(halo + r + g + 1) // 8) * 8)
+    if br != hi - lo:
+        raise ValueError(
+            f"bands rows {br} do not match block={g} search_radius={r} "
+            f"geometry ({hi - lo})")
+    halo_v = halo - lo
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    int_domain = bool(u8_exact) and integer_offsets
+    mdx = jnp.clip(mv[0].astype(F32), -r, r)
+    mdy = jnp.clip(mv[1].astype(F32), -r, r)
+    ix0 = jnp.floor(mdx)
+    iy0 = jnp.floor(mdy)
+    out = _warp_one(None, ix0.astype(jnp.int32), mdx - ix0,
+                    iy0.astype(jnp.int32), mdy - iy0,
+                    g=g, halo=halo, n_by=n_by, n_bx=n_bx, h=h, w=w,
+                    dtype=dtype, prec=prec, max_off=r,
+                    integer_offsets=integer_offsets, obmc=False,
+                    halo_r=halo, bands=(bands, br, halo_v))
+    return ((out + F32(128.0)) / F32(255.0) if int_domain
+            else out + F32(0.5))

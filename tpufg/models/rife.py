@@ -347,11 +347,33 @@ def interpolate_fast(params: dict, prev: jax.Array, curr: jax.Array,
 
 
 def _fast_tail(out, prev, curr, t, grid, max_flow, dtype, integer_flow):
+    """One-time-point wrapper over :func:`_fast_tails`."""
+    return _fast_tails(out, prev, curr, (t,), grid, max_flow, dtype,
+                       integer_flow)[0]
+
+
+def _fast_tails(out, prev, curr, ts, grid, max_flow, dtype, integer_flow):
     """Shared inference tail: head output [5, H/4, W/4] (flows in 1/4-res
     units + mask logit) -> fused frame via the lattice flow sample and the
     production one-hot warp (see interpolate_fast's docstring for the
-    closed-form lattice derivation and the integer_flow trade)."""
-    from tpufg.kernels.warp_matmul import warp_blend_matmul
+    closed-form lattice derivation and the integer_flow trade).
+
+    Takes SEVERAL time points at once (the engine's --fps-multiplier k
+    emits k-1 in-betweens per pair): the lattice sample, the mask
+    upsample, and the warp's banded frame representation
+    (warp_single_prepare) are t-independent, so they are computed once
+    and only the t-scaled flows, the banded warps, and the fusion run
+    per time point.  Measured on chip at k=4 4K->4K this is a WASH vs
+    per-t inline warps (55.91 vs 55.92 ms/step: XLA already CSE'd the
+    identical prep subgraphs) — kept because it makes the sharing
+    deterministic instead of an optimizer courtesy, at zero cost; the
+    per-t remainder is genuine work (distinct t-scaled flows need
+    distinct one-hot warps).  Bitwise-identical per time point to the
+    one-t form (the split warp halves are the same ops in the same
+    order; pinned by TestTailsFast and an engine-level pre/post
+    comparison)."""
+    from tpufg.kernels.warp_matmul import (warp_single_banded,
+                                           warp_single_prepare)
 
     if grid != 4 * SCALE:
         raise ValueError(f"interpolate_fast expects grid == {4 * SCALE}")
@@ -368,11 +390,6 @@ def _fast_tail(out, prev, curr, t, grid, max_flow, dtype, integer_flow):
           + out[:, 2::4, :][:, :nh] * F32(0.625))
     lat = (ry[:, :, 1::4][:, :, :nw] * F32(0.375)
            + ry[:, :, 2::4][:, :, :nw] * F32(0.625))
-    # per-side t-scaling of the midpoint-trained flows (_flow_t_scales:
-    # exact no-op at t=0.5, the k>2 fix for the r4d2 multi-rate deficit)
-    sp, sc = _flow_t_scales(t)
-    fp = lat[0:2] * F32(SCALE * sp)
-    fc = lat[2:4] * F32(SCALE * sc)
     # mask upsample as a banded-MXU matmul pair instead of
     # jax.image.resize: a separable bilinear upsample IS two banded
     # matmuls (the lanczos-kernel idiom), and resize's gather-style
@@ -388,18 +405,40 @@ def _fast_tail(out, prev, curr, t, grid, max_flow, dtype, integer_flow):
     mask_logit = jnp.einsum("rw,xw->rx", t_m, C, precision=prec,
                             preferred_element_type=F32)
     mask = jax.nn.sigmoid(mask_logit)[None]               # [1, H, W]
-    if integer_flow:
-        fp = jnp.round(fp)
-        fc = jnp.round(fc)
-    warped_p = warp_blend_matmul(prev, prev, fp, single=True, block=grid,
-                                 search_radius=max_flow, dtype=dtype,
-                                 integer_offsets=integer_flow,
-                                 u8_exact=integer_flow)
-    warped_c = warp_blend_matmul(curr, curr, fc, single=True, block=grid,
-                                 search_radius=max_flow, dtype=dtype,
-                                 integer_offsets=integer_flow,
-                                 u8_exact=integer_flow)
-    return _fuse(warped_p, warped_c, mask, t)
+
+    # t-independent banded warp prep, once per side.  Columns edge-pad to
+    # the warp's 128 tiling here (exactly what warp_blend_matmul does
+    # internally) so the prep covers every time point.
+    _, h, w = prev.shape
+    wp128 = -(-w // 128) * 128
+    if wp128 != w:
+        cw = ((0, 0), (0, 0), (0, wp128 - w))
+        prev = jnp.pad(prev, cw, mode="edge")
+        curr = jnp.pad(curr, cw, mode="edge")
+    kw = dict(block=grid, search_radius=max_flow, dtype=dtype,
+              integer_offsets=integer_flow, u8_exact=integer_flow)
+    bp = warp_single_prepare(prev, **kw)
+    bc = warp_single_prepare(curr, **kw)
+
+    fused = []
+    for t in ts:
+        # per-side t-scaling of the midpoint-trained flows
+        # (_flow_t_scales: exact no-op at t=0.5, the k>2 fix for the
+        # r4d2 multi-rate deficit)
+        sp, sc = _flow_t_scales(t)
+        fp = lat[0:2] * F32(SCALE * sp)
+        fc = lat[2:4] * F32(SCALE * sc)
+        if integer_flow:
+            fp = jnp.round(fp)
+            fc = jnp.round(fc)
+        if wp128 != w:
+            cb = ((0, 0), (0, 0), (0, (wp128 - w) // grid))
+            fp = jnp.pad(fp, cb, mode="edge")
+            fc = jnp.pad(fc, cb, mode="edge")
+        warped_p = warp_single_banded(bp, fp, **kw)[:, :, :w]
+        warped_c = warp_single_banded(bc, fc, **kw)[:, :, :w]
+        fused.append(_fuse(warped_p, warped_c, mask, t))
+    return fused
 
 
 # ---------------------------------------------------------------------------
@@ -913,6 +952,22 @@ def tail_fast(params: dict, out, prev: jax.Array, curr: jax.Array,
         integer_flow = not (is_v2(params) or is_v3(params))
     return _fast_tail(out, prev, curr, t, grid, max_flow, dtype,
                       integer_flow)
+
+
+def tails_fast(params: dict, out, prev: jax.Array, curr: jax.Array,
+               ts, grid: int = 16, max_flow: int = 8,
+               dtype=jnp.bfloat16,
+               integer_flow: bool | None = None) -> list[jax.Array]:
+    """All of a step's time points in one call: bitwise-identical to
+    ``[tail_fast(params, out, prev, curr, t) for t in ts]`` with the
+    t-independent work (lattice sample, mask upsample, the warp's banded
+    frame prep) shared by construction instead of by XLA CSE (measured a
+    wash on chip — see _fast_tails — so this is structure, not speed).
+    The engine's --fps-multiplier k step is the caller."""
+    if integer_flow is None:
+        integer_flow = not (is_v2(params) or is_v3(params))
+    return _fast_tails(out, prev, curr, tuple(ts), grid, max_flow, dtype,
+                       integer_flow)
 
 
 def param_shardings3(mesh: Mesh) -> dict:
