@@ -202,8 +202,6 @@ def run_bench():
     # truth is the profiler trace: per-invocation device durations of the
     # step's XLA module, whose p99/2 is the paced per-output-frame device
     # latency.  Host-synced numbers go to stderr for honesty.
-    import glob
-    import gzip
     import tempfile
 
     trace_dir = tempfile.mkdtemp(prefix="tpufg_bench_trace_")
@@ -218,19 +216,9 @@ def run_bench():
     leaf = jax.tree_util.tree_leaves(last)[0]
     _ = np.asarray(leaf[tuple(slice(0, 1) for _ in leaf.shape)])
     jax.profiler.stop_trace()
-    durs = []
-    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
-    if files:
-        ev = json.load(gzip.open(sorted(files)[-1]))
-        lanes = {}
-        for e in ev["traceEvents"]:
-            if e.get("ph") == "M" and e.get("name") == "thread_name":
-                lanes[(e["pid"], e["tid"])] = e["args"].get("name", "")
-        for e in ev["traceEvents"]:
-            if (e.get("ph") == "X"
-                    and lanes.get((e.get("pid"), e.get("tid"))) == "XLA Modules"
-                    and e.get("name", "").startswith("jit_step")):
-                durs.append(e.get("dur", 0) / 1e3)  # us -> ms
+    from tpufg.utils.tracing import module_durations_ms
+    durs = [d for name, ds in module_durations_ms(trace_dir).items()
+            if name.startswith("jit_step") for d in ds]
     # per OUTPUT frame (each step emits 2 frames at once)
     if durs:
         durs = np.array(durs)

@@ -39,7 +39,9 @@ def _run_config(tag, cfg_kw, n, steps_kind, model_params=None,
             np.ascontiguousarray(x).view(np.int32).reshape(x.shape[:2]))
 
     identity = (cfg.output_height, cfg.output_width) == (in_h, in_w)
-    n_pairs = (n + 4) if identity else 4  # donation engages at equal size
+    # donation engages at equal size, so every step (1 warmup + n wall
+    # + n trace) needs a fresh pair
+    n_pairs = (2 * n + 5) if identity else 4
     pairs = []
     for i in range(n_pairs):
         j = i % 16
@@ -91,8 +93,37 @@ def _run_config(tag, cfg_kw, n, steps_kind, model_params=None,
     sync(last)
     dt = time.perf_counter() - t0
     ms = dt / n * 1e3
+
+    # device-trace column: wall clock through the relay swings ~2x with
+    # relay weather (identical code measured 4.74 and 9.88 ms/step on
+    # config 4 in back-to-back campaigns), so the table also records what
+    # the chip itself did — p50 of the step module's per-invocation
+    # device durations (the dominant module in the trace window).
+    import shutil
+    import tempfile
+
+    from tpufg.utils.tracing import module_durations_ms
+    trace_dir = tempfile.mkdtemp(prefix="tpufg_matrix_trace_")
+    try:
+        jax.profiler.start_trace(trace_dir)
+        for i in range(n):
+            last = step(*next(seq))
+            if i % 25 == 24:  # bound the async queue depth
+                sync(last)
+        sync(last)
+        jax.profiler.stop_trace()
+        mods = module_durations_ms(trace_dir)
+    finally:
+        shutil.rmtree(trace_dir, ignore_errors=True)
+    dom = max(mods.values(), key=len, default=None)
+    if dom and len(dom) >= max(4, n // 2):
+        dev = f"{float(np.percentile(np.asarray(dom), 50)):.2f}"
+        dev_fps = f"{outs_per_step * 1e3 / float(np.median(dom)):.0f}"
+    else:  # no XLA Modules lane (CPU) or too few samples
+        dev, dev_fps = "—", "—"
     fps = outs_per_step * n / dt
-    print(f"| {tag} | {ms:.2f} | {fps:.0f} |", flush=True)
+    print(f"| {tag} | {ms:.2f} | {fps:.0f} | {dev} | {dev_fps} |",
+          flush=True)
 
 
 def main():
@@ -113,8 +144,9 @@ def main():
             return
         return _run_config(tag, *a, **kw)
 
-    print("| BASELINE config | ms/step | output fps/chip |")
-    print("|---|---|---|")
+    print("| BASELINE config | ms/step | output fps/chip "
+          "| device ms/step p50 | device fps |")
+    print("|---|---|---|---|---|")
     run_config("1: 720p→1440p Lanczos only (scale.comp)",
                dict(input_width=1280, input_height=720, output_width=2560,
                     output_height=1440, dtype="bf16", motion_mode="none",

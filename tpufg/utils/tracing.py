@@ -38,6 +38,39 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+def module_durations_ms(trace_dir: str) -> dict:
+    """Per-invocation DEVICE durations (ms) of every XLA module in a
+    jax.profiler trace, keyed by module name.
+
+    This is the ground truth for rate claims on a relay-attached host:
+    wall clock through the relay swings ~2x with relay weather (the same
+    north-star program measured 4.74 and 9.88 ms/step in back-to-back
+    campaigns of identical code), while the trace records what the chip
+    itself did.  bench.py's p99 and tools/bench_matrix.py's device
+    column both parse through here.  Returns {} when the backend's
+    trace carries no "XLA Modules" lane (e.g. CPU interpret runs).
+    """
+    import glob
+    import gzip
+    import json
+
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    if not files:
+        return {}
+    ev = json.load(gzip.open(sorted(files)[-1]))
+    lanes = {}
+    for e in ev["traceEvents"]:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            lanes[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    durs: dict = {}
+    for e in ev["traceEvents"]:
+        if (e.get("ph") == "X"
+                and lanes.get((e.get("pid"), e.get("tid"))) == "XLA Modules"):
+            durs.setdefault(e.get("name", ""), []).append(
+                e.get("dur", 0) / 1e3)  # us -> ms
+    return durs
+
+
 @contextlib.contextmanager
 def debug_checks(enabled: bool) -> Iterator[None]:
     """NaN/Inf guard for every computation in scope (jax debug_nans).
