@@ -1,0 +1,47 @@
+#!/bin/bash
+# v3 second warm-restart campaign (round 4 late): the bundled head came
+# from 6000 steps + ONE 3000-step warm restart (fresh optimizer + cosine,
+# artifacts/train_v3_ext) and that restart beat a 12000-step single
+# cosine (artifacts/train_v3x: 40.52 vs 40.83) — so the measured lever is
+# SGDR-style restarts, not longer schedules.  This runs restart #2 from
+# the bundled checkpoint on a FRESH scene seed (synth:7 — the ext run
+# replayed its original stream's opening scenes; a new seed strictly
+# avoids replay) and evals clean+grain against the bundled 40.83/35.77.
+# One TPU client, strictly sequential, every stage bounded.
+#   bash tools/train_v3r2_campaign.sh [outdir] [steps] [lr]
+set -u
+cd "$(dirname "$0")/.."
+OUT="${1:-.data/train_v3r2}"
+STEPS="${2:-3000}"
+LR="${3:-1e-4}"
+mkdir -p "$OUT" .data/ckpt
+
+stage() {  # stage <name> <timeout_s> <cmd...>
+  local name="$1" t="$2"; shift 2
+  echo "=== $name ($(date -u +%H:%M:%SZ), timeout ${t}s)"
+  timeout "$t" "$@" >"$OUT/$name.log" 2>&1
+  local rc=$?
+  echo "=== $name rc=$rc"
+  tail -4 "$OUT/$name.log" | sed 's/^/    /'
+}
+
+stage probe 480 python -c "
+import jax, jax.numpy as jnp
+print('PROBE_OK', float(jnp.ones((8,128)).sum()))"
+grep -q PROBE_OK "$OUT/probe.log" || { echo 'relay wedged; aborting'; exit 1; }
+
+CK=.data/ckpt/v3r2.npz
+if [ ! -f "$CK" ]; then
+  cp checkpoints/head64_v3.npz "$CK"   # warm-restart seed = bundled head
+fi
+stage train 14400 python -m tpufg.models.train synth:7 --arch v3 \
+  --steps "$STEPS" --cosine --lr "$LR" --flow-weight 0.1 --batch 4 \
+  --crop 128x192 --resume "$CK" --checkpoint "$CK" --save-every 500 \
+  --log-every 100
+
+stage eval_clean 1800 python tools/eval_natural.py --pairs 8 --no-gate \
+  --model-path "$CK" --modes learned
+stage eval_grain 1800 python tools/eval_natural.py --pairs 8 --grain \
+  --no-gate --model-path "$CK" --modes learned
+
+echo "campaign done -> $OUT"
