@@ -126,6 +126,17 @@ def main(in_w=1920, in_h=1080, out_mult=2, n=24, mode="pyramid", k=2,
                 break
         scope[src] += ms
     rows = sorted(agg.items(), key=lambda kv: -kv[1])
+    # the device-truth step time: per-invocation module durations (what
+    # bench.py's p99 and bench_matrix's device column report) — per-op
+    # and per-LINE tables below locate fusions, NOT lines; confirm any
+    # "duplicated work" hypothesis with a counterfactual measurement
+    # (docs/ROUND4.md, the warp-prep wash)
+    from tpufg.utils.tracing import module_durations_ms
+    mods = module_durations_ms(trace_dir)
+    dom = max(mods.values(), key=len, default=None)
+    if dom:
+        print(f"device module p50 {float(np.percentile(dom, 50)):.2f} "
+              f"ms/step over {len(dom)} invocations")
     print(f"XLA Ops total {total:.2f} ms over 8 steps "
           f"({total / 8:.2f} ms/step)")
     for name, ms in rows[:30]:

@@ -34,7 +34,10 @@ CK=.data/ckpt/v3r2.npz
 if [ ! -f "$CK" ]; then
   cp checkpoints/head64_v3.npz "$CK"   # warm-restart seed = bundled head
 fi
-stage train 14400 python -m tpufg.models.train synth:7 --arch v3 \
+# 5400 s bounds a healthy 3000-step run (~25 min) plus relay-weather
+# slack; a client wedged in backend init then wastes 90 min, not 4 h
+# (never SIGTERM a TPU run — let timeout bound it)
+stage train 5400 python -m tpufg.models.train synth:7 --arch v3 \
   --steps "$STEPS" --cosine --lr "$LR" --flow-weight 0.1 --batch 4 \
   --crop 128x192 --resume "$CK" --checkpoint "$CK" --save-every 500 \
   --log-every 100
