@@ -257,3 +257,45 @@ class TestLearnedDefaultOnChip:
                 r, o = np.asarray(r), np.asarray(o)
                 assert r.shape == (96, 128, 4) and r.dtype == np.uint8
                 assert (r == o).all()
+
+
+class TestWarpPrepSplitOnChip:
+    def test_prepare_banded_bitwise_compiled(self, rng):
+        """The split single-mode warp (warp_single_prepare +
+        warp_single_banded, the k>2 learned-tail path) compiled on the
+        chip is bitwise the inline single-mode warp, in the production
+        bf16 fractional domain AND the v1 integer-code domain — the
+        CPU-interpret parity (TestSinglePrepareBanded) re-pinned on the
+        Mosaic-compiled artifact."""
+        from tpufg.kernels.warp_matmul import (warp_blend_matmul,
+                                               warp_single_banded,
+                                               warp_single_prepare)
+        f = jnp.asarray(
+            np.round(rng.random((4, 64, 256)).astype(np.float32) * 255)
+            / np.float32(255))
+        for io, u8 in ((False, False), (True, True)):
+            mv = rng.uniform(-8, 8, (2, 4, 16)).astype(np.float32)
+            if io:
+                mv = np.round(mv)
+            mv = jnp.asarray(mv)
+            kw = dict(block=16, search_radius=8, dtype=jnp.bfloat16,
+                      integer_offsets=io, u8_exact=u8)
+            a = warp_blend_matmul(f, f, mv, single=True, **kw)
+            b = warp_single_banded(warp_single_prepare(f, **kw), mv, **kw)
+            assert np.array_equal(np.asarray(a), np.asarray(b)), (io, u8)
+
+    def test_multi_t_tails_bitwise_compiled(self, rng):
+        """tails_fast at three time points == per-t tail_fast, compiled:
+        the k>2 engine path's shared-prep form against the one-t form,
+        with the bundled default head's shapes (random v3 weights —
+        structure parity, the bundled-weights test above covers values)."""
+        from tpufg.models import rife
+        params = rife.init_params3(jax.random.PRNGKey(3), hidden=16)
+        prev = jnp.asarray(rng.random((4, 48, 128)).astype(np.float32))
+        curr = jnp.asarray(rng.random((4, 48, 128)).astype(np.float32))
+        out = rife.trunk_fast(params, prev, curr)
+        ts = (1.0 / 3.0, 0.5, 2.0 / 3.0)
+        multi = rife.tails_fast(params, out, prev, curr, ts)
+        for t, m in zip(ts, multi):
+            single = rife.tail_fast(params, out, prev, curr, t)
+            assert np.array_equal(np.asarray(m), np.asarray(single)), t
