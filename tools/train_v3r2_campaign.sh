@@ -8,12 +8,14 @@
 # replayed its original stream's opening scenes; a new seed strictly
 # avoids replay) and evals clean+grain against the bundled 40.83/35.77.
 # One TPU client, strictly sequential, every stage bounded.
-#   bash tools/train_v3r2_campaign.sh [outdir] [steps] [lr]
+#   bash tools/train_v3r2_campaign.sh [outdir] [steps] [lr] [seed] [ck]
 set -u
 cd "$(dirname "$0")/.."
 OUT="${1:-.data/train_v3r2}"
 STEPS="${2:-3000}"
 LR="${3:-1e-4}"
+SEED="${4:-7}"
+CK="${5:-.data/ckpt/v3r2.npz}"
 mkdir -p "$OUT" .data/ckpt
 
 stage() {  # stage <name> <timeout_s> <cmd...>
@@ -30,14 +32,14 @@ import jax, jax.numpy as jnp
 print('PROBE_OK', float(jnp.ones((8,128)).sum()))"
 grep -q PROBE_OK "$OUT/probe.log" || { echo 'relay wedged; aborting'; exit 1; }
 
-CK=.data/ckpt/v3r2.npz
+
 if [ ! -f "$CK" ]; then
   cp checkpoints/head64_v3.npz "$CK"   # warm-restart seed = bundled head
 fi
 # 5400 s bounds a healthy 3000-step run (~25 min) plus relay-weather
 # slack; a client wedged in backend init then wastes 90 min, not 4 h
 # (never SIGTERM a TPU run — let timeout bound it)
-stage train 5400 python -m tpufg.models.train synth:7 --arch v3 \
+stage train 5400 python -m tpufg.models.train "synth:$SEED" --arch v3 \
   --steps "$STEPS" --cosine --lr "$LR" --flow-weight 0.1 --batch 4 \
   --crop 128x192 --resume "$CK" --checkpoint "$CK" --save-every 500 \
   --log-every 100
