@@ -44,6 +44,12 @@ stage train 5400 python -m tpufg.models.train "synth:$SEED" --arch v3 \
   --crop 128x192 --resume "$CK" --checkpoint "$CK" --save-every 500 \
   --log-every 100
 
+# Persist the trained weights NEXT TO THE LOGS before anything else: the
+# round-4 restart-#2 head (40.91 clean) was lost because it lived only in
+# gitignored .data/ when the VM recycled — when $OUT is under artifacts/,
+# this copy rides the next commit.
+cp "$CK" "$OUT/$(basename "$CK")" 2>/dev/null || true
+
 stage eval_clean 1800 python tools/eval_natural.py --pairs 8 --no-gate \
   --model-path "$CK" --modes learned
 stage eval_grain 1800 python tools/eval_natural.py --pairs 8 --grain \

@@ -343,7 +343,8 @@ def _planar(frame):
 
 def synthetic_triplets(crop_h, crop_w, batch, seed=0, scene_w=640,
                        scene_h=384, grain_p=0.25, gap2_p=0.25,
-                       rich=True, supervise=True, t_max=24.0):
+                       rich=True, supervise=True, t_max=24.0,
+                       t_range=None):
     """Infinite generator of training batches from FRESH procedural scenes.
 
     Each triplet draws a new scene (seed stream offset by 10**6 from the
@@ -366,6 +367,16 @@ def synthetic_triplets(crop_h, crop_w, batch, seed=0, scene_w=640,
     (4i + 1.5, 4j + 1.5) — jax.image.resize half-pixel convention, the
     same mapping models/rife.py's closed-form lattice uses — so the
     targets are evaluated exactly where the head's outputs live.
+
+    ``t_range`` (lo, hi): multi-t training — one fractional time point is
+    drawn per BATCH (the train step takes a scalar t) and the TARGET
+    renders at t0 + gap·t instead of the midpoint; the batch dict gains
+    key ``t`` (f32 scalar).  The analytic flow supervision stays the
+    MIDPOINT motions (flows FROM t0+gap/2), matching the heads' raw-flow
+    semantics — the loss reaches the off-midpoint target through the
+    t-scaled tails (rife._flow_t_scales), exactly the deployed k>2 path.
+    The k=3/4 deployment time points (1/3..3/4) motivate the default
+    campaign range (0.25, 0.75).
     """
     rng = np.random.default_rng(seed)
     scene_seed = 1_000_000 + 7919 * (seed + 1)
@@ -386,17 +397,21 @@ def synthetic_triplets(crop_h, crop_w, batch, seed=0, scene_w=640,
     while True:
         out = {k: [] for k in ("prev", "target", "curr", "flow4", "vp4",
                                "vc4", "flow8", "vp8", "vc8")}
+        tt = (float(rng.uniform(*t_range)) if t_range is not None
+              else 0.5)  # one time point per batch (scalar step arg)
         for _ in range(batch):
             sc = Scene(scene_seed, scene_w, scene_h, rich=rich)
             scene_seed += 1
             gap = 2.0 if rng.random() < gap2_p else 1.0
             t0 = float(rng.uniform(0.0, t_max))
             tm, t1 = t0 + gap / 2.0, t0 + gap
+            t_target = t0 + gap * tt  # == tm when t_range is None
             y0 = int(rng.integers(0, scene_h - crop_h + 1))
             x0 = int(rng.integers(0, scene_w - crop_w + 1))
             grain_rng = rng if rng.random() < grain_p else None
             win = (y0, x0, crop_h, crop_w)
-            for key, t in (("prev", t0), ("target", tm), ("curr", t1)):
+            for key, t in (("prev", t0), ("target", t_target),
+                           ("curr", t1)):
                 out[key].append(_planar(sc.render(
                     t, grain_rng=grain_rng, window=win)))
             if supervise:
@@ -405,4 +420,7 @@ def synthetic_triplets(crop_h, crop_w, batch, seed=0, scene_w=640,
                 for key, v in (("flow4", f4), ("vp4", vp4), ("vc4", vc4),
                                ("flow8", f8), ("vp8", vp8), ("vc8", vc8)):
                     out[key].append(v)
-        yield {k: np.stack(v) for k, v in out.items() if v}
+        batch_out = {k: np.stack(v) for k, v in out.items() if v}
+        if t_range is not None:
+            batch_out["t"] = np.float32(tt)
+        yield batch_out

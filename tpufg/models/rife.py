@@ -225,10 +225,10 @@ def _ft_tail(out: jax.Array, prev: jax.Array, curr: jax.Array, t: float,
     lat = (ry[:, :, :, 1::4][:, :, :, :nw] * F32(0.375)
            + ry[:, :, :, 2::4][:, :, :, :nw] * F32(0.625))
     sp, sc = _flow_t_scales(t)
-    flow_p = _block_flow(lat[:, 0:2] * F32(SCALE * sp), float(max_flow),
-                         grid, integer_flow)
-    flow_c = _block_flow(lat[:, 2:4] * F32(SCALE * sc), float(max_flow),
-                         grid, integer_flow)
+    flow_p = _block_flow(_scale_flow(lat[:, 0:2], SCALE, sp),
+                         float(max_flow), grid, integer_flow)
+    flow_c = _block_flow(_scale_flow(lat[:, 2:4], SCALE, sc),
+                         float(max_flow), grid, integer_flow)
     mask = jax.nn.sigmoid(jax.image.resize(
         out[:, 4:5], (b, 1, hq * SCALE, wq * SCALE), "bilinear"))
     warped_p = bilinear_warp(prev.astype(F32), flow_p)
@@ -236,7 +236,7 @@ def _ft_tail(out: jax.Array, prev: jax.Array, curr: jax.Array, t: float,
     return _fuse(warped_p, warped_c, mask, t)
 
 
-def _flow_t_scales(t: float) -> tuple[float, float]:
+def _flow_t_scales(t):
     """Per-side flow scale factors for an arbitrary time point.
 
     The heads are trained exclusively at the triplet midpoint, so their
@@ -247,12 +247,37 @@ def _flow_t_scales(t: float) -> tuple[float, float]:
     deployment/eval path is bitwise-unchanged; only k>2 time points move.
     Measured motivation: before this scaling the k=3/4 learned rows
     warped every in-between with the MIDPOINT flows (r4d2 campaign:
-    36.97/36.91 dB vs 40.83 at k=2 on the same corpus)."""
-    return 2.0 * float(t), 2.0 * (1.0 - float(t))
+    36.97/36.91 dB vs 40.83 at k=2 on the same corpus).
+
+    ``t`` may be a traced f32 scalar (multi-t training: the trainer draws
+    a fresh t per step, so t must be a step ARGUMENT, not a compile-time
+    constant); the static-float path is unchanged."""
+    if isinstance(t, (int, float, np.floating)):
+        return 2.0 * float(t), 2.0 * (1.0 - float(t))
+    t = jnp.asarray(t, F32)
+    return F32(2.0) * t, F32(2.0) * (F32(1.0) - t)
+
+
+def _scale_flow(flow, mult: float, s):
+    """``flow * (mult * s)`` with the static-t constant folded exactly as
+    before this helper existed.  ``mult`` is always a power of two here
+    (SCALE or 1), so fold-then-cast and cast-then-multiply are bitwise
+    equal — the branch only keeps the static-t jaxpr literally identical
+    while letting a traced ``s`` flow through as a runtime scalar."""
+    if isinstance(s, float):
+        return flow * F32(mult * s)
+    return flow * (F32(mult) * s)
+
+
+def _is_midpoint(t) -> bool:
+    """True for the static t=0.5 fast path (scaling is a provable no-op
+    there; skipping it keeps the deployed k=2 graphs byte-identical)."""
+    return isinstance(t, (int, float, np.floating)) and float(t) == 0.5
 
 
 def _fuse(warped_p, warped_c, mask, t):
-    tt = F32(t)
+    tt = (F32(t) if isinstance(t, (int, float, np.floating))
+          else jnp.asarray(t, F32))
     # occlusion-weighted fusion biased by temporal position
     w_p = mask * (F32(1.0) - tt)
     w_c = (F32(1.0) - mask) * tt
@@ -268,8 +293,10 @@ def _smooth_tail(out: jax.Array, prev: jax.Array, curr: jax.Array,
     b, _, hq, wq = out.shape
     sp, sc = _flow_t_scales(t)
     full = jax.image.resize(out, (b, 5, hq * SCALE, wq * SCALE), "bilinear")
-    warped_p = bilinear_warp(prev.astype(F32), full[:, 0:2] * F32(SCALE * sp))
-    warped_c = bilinear_warp(curr.astype(F32), full[:, 2:4] * F32(SCALE * sc))
+    warped_p = bilinear_warp(prev.astype(F32),
+                             _scale_flow(full[:, 0:2], SCALE, sp))
+    warped_c = bilinear_warp(curr.astype(F32),
+                             _scale_flow(full[:, 2:4], SCALE, sc))
     return _fuse(warped_p, warped_c, jax.nn.sigmoid(full[:, 4:5]), t)
 
 
@@ -635,8 +662,12 @@ def forward2(params: dict, prev: jax.Array, curr: jax.Array,
     # flow directly (flows are already in 1/8-res units)
     p8 = _down2_mean(_down2_mean(_down2_mean(prev.astype(F32))))
     c8 = _down2_mean(_down2_mean(_down2_mean(curr.astype(F32))))
-    w_p8 = bilinear_warp(p8, out0[:, 0:2])
-    w_c8 = bilinear_warp(c8, out0[:, 2:4])
+    f8p, f8c = out0[:, 0:2], out0[:, 2:4]
+    if not _is_midpoint(t):  # coarse flows are midpoint motions too
+        sp, sc = _flow_t_scales(t)
+        f8p, f8c = _scale_flow(f8p, 1.0, sp), _scale_flow(f8c, 1.0, sc)
+    w_p8 = bilinear_warp(p8, f8p)
+    w_c8 = bilinear_warp(c8, f8c)
     pred8 = _fuse(w_p8, w_c8, jax.nn.sigmoid(out0[:, 4:5]), t)
     return pred, pred8
 
@@ -658,8 +689,12 @@ def _two_stage_loss(head_fn, params, prev, curr, target, t, aux_weight,
         pred = _smooth_tail(out1, prev, curr, t)
     p8 = _down2_mean(_down2_mean(_down2_mean(prev.astype(F32))))
     c8 = _down2_mean(_down2_mean(_down2_mean(curr.astype(F32))))
-    pred8 = _fuse(bilinear_warp(p8, out0[:, 0:2]),
-                  bilinear_warp(c8, out0[:, 2:4]),
+    f8p, f8c = out0[:, 0:2], out0[:, 2:4]
+    if not _is_midpoint(t):  # multi-t: coarse flows are midpoint motions
+        sp8, sc8 = _flow_t_scales(t)
+        f8p, f8c = _scale_flow(f8p, 1.0, sp8), _scale_flow(f8c, 1.0, sc8)
+    pred8 = _fuse(bilinear_warp(p8, f8p),
+                  bilinear_warp(c8, f8c),
                   jax.nn.sigmoid(out0[:, 4:5]), t)
     t8 = _down2_mean(_down2_mean(_down2_mean(target.astype(F32))))
     photo = (jnp.mean(jnp.abs(pred - target.astype(F32)))
@@ -1159,6 +1194,16 @@ def make_train_step(
     becomes (total, photo, flow).  ``mask_weight`` defaults to
     flow_weight / 5.  Mutually exclusive with ``ft``.
 
+    Multi-t training: every step variant accepts an OPTIONAL trailing f32
+    scalar ``t`` (traced, so all steps share one compiled program) and the
+    loss then predicts the frame at that time through the t-scaled tails
+    (:func:`_flow_t_scales`) instead of the closure-time ``t``.  The raw
+    flow semantics stay midpoint (supervision targets remain the midpoint
+    motions); only the photometric terms move with t.  Closes the
+    constant-velocity-only gap the k>2 fix documented (docs/NEXT.md): the
+    head sees off-midpoint targets in training instead of only
+    extrapolating to them (the trainer's ``--multi-t``).
+
     ``ema_decay`` > 0: the step additionally maintains an exponential
     moving average of the parameters (Polyak averaging — the evaluation
     weights of most modern vision training recipes).  The step signature
@@ -1204,18 +1249,22 @@ def make_train_step(
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1)))))
 
-    def _step(params, opt_state, prev, curr, target):
+    def _step(params, opt_state, prev, curr, target, t_in=None):
         prev, curr, target = map(_constrain, (prev, curr, target))
-        loss, grads = jax.value_and_grad(lf)(params, prev, curr, target, t)
+        t_eff = t if t_in is None else t_in
+        loss, grads = jax.value_and_grad(lf)(
+            params, prev, curr, target, t_eff)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    def _step_sup(params, opt_state, prev, curr, target, sup_batch):
+    def _step_sup(params, opt_state, prev, curr, target, sup_batch,
+                  t_in=None):
         prev, curr, target = map(_constrain, (prev, curr, target))
         sup_batch = jax.tree_util.tree_map(_constrain, sup_batch)
+        t_eff = t if t_in is None else t_in
         (loss, (photo, flow)), grads = jax.value_and_grad(lf, has_aux=True)(
-            params, prev, curr, target, sup_batch, t)
+            params, prev, curr, target, sup_batch, t_eff)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, (loss, photo, flow)
@@ -1227,15 +1276,16 @@ def make_train_step(
             return jax.tree_util.tree_map(
                 lambda e, p: e * d + p * (1.0 - d), ema, params)
 
-        def _step_ema(params, opt_state, ema, prev, curr, target):
+        def _step_ema(params, opt_state, ema, prev, curr, target,
+                      t_in=None):
             params, opt_state, loss = _step(
-                params, opt_state, prev, curr, target)
+                params, opt_state, prev, curr, target, t_in)
             return params, opt_state, _ema(ema, params), loss
 
         def _step_sup_ema(params, opt_state, ema, prev, curr, target,
-                          sup_batch):
+                          sup_batch, t_in=None):
             params, opt_state, loss = _step_sup(
-                params, opt_state, prev, curr, target, sup_batch)
+                params, opt_state, prev, curr, target, sup_batch, t_in)
             return params, opt_state, _ema(ema, params), loss
 
         return init_state, jax.jit(_step_sup_ema if sup else _step_ema), opt

@@ -210,6 +210,14 @@ def main(argv=None) -> int:
                         "better (0 = off).  Resuming continues the "
                         "average from the sidecar state when the saving "
                         "run also used --ema")
+    p.add_argument("--multi-t", action="store_true", dest="multi_t",
+                   help="train at random time points t in [0.25, 0.75] "
+                        "(one per batch) instead of only the midpoint: "
+                        "the synth renderer supplies the off-midpoint "
+                        "target and the loss reaches it through the "
+                        "t-scaled tails — the deployed k>2 path.  Raw "
+                        "flow semantics stay midpoint (flow supervision "
+                        "is unchanged).  Requires the synth input")
     p.add_argument("--flow-weight", type=float, default=0.0,
                    help="analytic flow-supervision weight (synth input "
                         "only — the procedural renderer is the teacher; "
@@ -244,6 +252,10 @@ def main(argv=None) -> int:
     if args.flow_weight > 0 and not synth:
         log.error("--flow-weight needs the synth input (analytic flow "
                   "targets come from the procedural renderer)")
+        return 1
+    if args.multi_t and not synth:
+        log.error("--multi-t needs the synth input (off-midpoint targets "
+                  "come from the renderer's arbitrary-t evaluation)")
         return 1
     ms = re.fullmatch(r"(\d+)x(\d+)", args.scene_size)
     if not ms:
@@ -323,7 +335,8 @@ def main(argv=None) -> int:
         gen = synthetic_triplets(
             crop_h, crop_w, args.batch,
             seed=(int(synth.group(1)) if synth.group(1) else 0) + start_step,
-            scene_w=scene_w, scene_h=scene_h, supervise=supervised)
+            scene_w=scene_w, scene_h=scene_h, supervise=supervised,
+            t_range=(0.25, 0.75) if args.multi_t else None)
         batches = _prefetch(gen)
     else:
         def open_one(spec):
@@ -368,6 +381,8 @@ def main(argv=None) -> int:
                 step_args.append({k: jnp.asarray(b[k]) for k in
                                   ("flow4", "vp4", "vc4", "flow8", "vp8",
                                    "vc8") if k in b})
+            if synth and "t" in b:  # --multi-t: trailing traced scalar
+                step_args.append(jnp.asarray(b["t"]))
             out = train_step(*step_args)
             if run.ema is not None:
                 params_, opt_state_, run.ema, loss = out
