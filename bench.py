@@ -13,11 +13,13 @@ Methodology: the production pipeline step (pyramid motion + block warp +
 distinct in-HBM frame pairs with one device sync at the end — steady-state
 device throughput, the regime the streaming engine's async pipeline
 approaches.  (In this environment host<->device transfers cross the axon
-relay at ~35 ms/round-trip and ~30 MB/s, so per-step host-synced latency is
-relay-dominated and reported to stderr for context, not as the metric.)
+relay, so per-step host-synced latency is relay-dominated and reported to
+stderr for context, not as the metric; the current measured relay numbers
+live in artifacts/bench_latest.json, written by every healthy run.)
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -25,6 +27,13 @@ import time
 import numpy as np
 
 METRIC = "1080p->4K interpolated output fps/chip (pyramid+warp+scale, bf16)"
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+# Every healthy run records its payload + git SHA here; the degraded path
+# cites THIS (the newest committed healthy capture of the current code
+# state) instead of any number hardcoded in this file (verdict r4 item 3b:
+# the r4 degraded artifact cited two-rounds-stale literals).
+LATEST_PATH = os.path.join(REPO, "artifacts", "bench_latest.json")
 
 # the whole bench must finish inside this (driver-side patience; also the
 # backstop if the device lease wedges MID-run after a healthy probe)
@@ -44,6 +53,47 @@ def emit(payload):
     print(json.dumps(payload), flush=True)
 
 
+def git_sha():
+    try:
+        r = subprocess.run(["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+                           capture_output=True, text=True, timeout=10)
+        return r.stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def record_healthy(payload):
+    """Persist this healthy capture (+ code state) as the degraded path's
+    future last-known-good.  Committed under artifacts/ so it survives the
+    session and names the exact code it measured."""
+    rec = dict(payload)
+    rec["git_sha"] = git_sha()
+    rec["recorded_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    try:
+        os.makedirs(os.path.dirname(LATEST_PATH), exist_ok=True)
+        with open(LATEST_PATH, "w") as f:
+            json.dump(rec, f, indent=1)
+            f.write("\n")
+    except OSError as e:
+        log(f"could not write {LATEST_PATH}: {e}")
+
+
+def last_known_good():
+    """The newest committed healthy capture, or an honest absence."""
+    try:
+        with open(LATEST_PATH) as f:
+            rec = json.load(f)
+        return {
+            "note": f"last healthy bench.py capture at git {rec.get('git_sha')}"
+                    f" ({rec.get('recorded_at')}), artifacts/bench_latest.json",
+            "output_fps": rec.get("value"),
+            "paced_p99_ms_device": rec.get("paced_p99_ms_device"),
+        }
+    except (OSError, ValueError):
+        return {"note": "no committed healthy capture found "
+                        "(artifacts/bench_latest.json missing)"}
+
+
 def degraded(reason, detail=""):
     """The artifact must record WHY instead of rc=1 with a traceback.
 
@@ -61,9 +111,7 @@ def degraded(reason, detail=""):
         "status": "degraded",
         "reason": reason,
         "detail": detail[-600:],
-        "last_known_good": {
-            "note": "driver-captured BENCH_r02 on a nearby code state",
-            "output_fps": 401.9, "paced_p99_ms_device": 2.15},
+        "last_known_good": last_known_good(),
     })
 
 
@@ -129,6 +177,10 @@ def main():
                  if ln.startswith("{")), None)
     if r.returncode == 0 and line:
         print(line, flush=True)
+        try:
+            record_healthy(json.loads(line))
+        except ValueError:
+            pass
     else:
         degraded(f"bench run failed rc={r.returncode}",
                  (r.stdout or "")[-400:])
@@ -172,10 +224,11 @@ def run_bench():
     # steady-state throughput: enqueue N steps, one sync.  Reusing the
     # pairs across calls is safe here: the step donates arg 0, but with
     # 1080p inputs and 4K outputs no donation can engage (shape mismatch);
-    # a defensive per-call device copy measured +12 ms/pair.  Best of two
-    # passes: the device work is constant (trace p99 is flat) but the
-    # relay's dispatch rate has transient slow periods (measured 328 vs
-    # 390 fps minutes apart with identical device times).
+    # a defensive per-call device copy measurably slowed every pair when
+    # tried (r4).  Best of two passes: the device work is constant (trace
+    # p99 is flat) but the relay's dispatch rate has transient slow
+    # periods (two passes minutes apart differed noticeably with
+    # identical device times — r4 capture, artifacts/bench_latest.json).
     n = 40
     dt = float("inf")
     for _ in range(2):
@@ -196,9 +249,10 @@ def run_bench():
     # Paced-mode p99 methodology.  In paced (real-time) mode the engine
     # syncs every frame, so per-frame latency = device step time + one
     # host<->device sync.  On THIS environment the sync crosses the axon
-    # relay (~30 ms RTT with occasional ~100 ms spikes), so host-synced
-    # percentiles measure the relay tail, not the device; on production
-    # hardware (direct-attached host) the sync is microseconds.  Ground
+    # relay (tens of ms, with spikes — the measured p50 is in this run's
+    # host_sync_ms_p50 field), so host-synced percentiles measure the
+    # relay tail, not the device; on production hardware (direct-attached
+    # host) the sync is microseconds.  Ground
     # truth is the profiler trace: per-invocation device durations of the
     # step's XLA module, whose p99/2 is the paced per-output-frame device
     # latency.  Host-synced numbers go to stderr for honesty.
@@ -245,9 +299,9 @@ def run_bench():
     # Real-time feasibility, in one citable place (reference pacing loop:
     # src/main.cpp:114-131).  Paced mode syncs every step (2 output
     # frames), so max paced output fps = 2000 / per-step latency:
-    # on THIS host that latency is device time + the axon relay's ~35 ms
-    # RTT (the 4-fps demo ceiling); on a production direct-attached host
-    # the sync is microseconds, so the device p99 is the bound.
+    # on THIS host that latency is device time + the axon relay RTT
+    # (host_sync_ms_p50, just measured); on a production direct-attached
+    # host the sync is microseconds, so the device p99 is the bound.
     paced_this_host = 2e3 / host_p50 if host_p50 > 0 else 0.0
     paced_direct = 1e3 / p99d if p99d > 0 else 0.0
     log(f"max paced output fps: {paced_this_host:.1f} through this host's "
@@ -278,13 +332,14 @@ def bench_e2e(log):
     """Full-pipeline transcode: raw file -> native ingest ring -> device
     (pyramid+warp+2x scale, device-side y4m420 conversion) -> Y4MSink.
 
-    On THIS environment host<->device crosses the axon relay
-    (~217 MB/s up, ~31 MB/s down), so the e2e rate is transfer-bound:
-    each 4K C420 output frame moves 12.4 MB back (~0.4 s) — the device-
-    side y4m conversion already cut that 2.7x vs the RGBA wire.  On a
-    production direct-attached host the same path is bounded by
-    min(device step rate, sink write rate); the sink leg is measured
-    separately below (sub-10 ms/4K frame: a buffer write, since color
+    On THIS environment host<->device crosses the axon relay, so the e2e
+    rate is readback-bound: each 4K C420 output frame moves
+    3840*2160*1.5 bytes back over a link whose measured bandwidth is
+    recorded per-run (stderr + artifacts/bench_latest.json) — the
+    device-side y4m conversion already cut that payload vs the RGBA wire
+    (1.5 vs 4 bytes/px).  On a production direct-attached host the same
+    path is bounded by min(device step rate, sink write rate); the sink
+    leg is measured separately below (a buffer write, since color
     conversion moved on-device).
     """
     import os
@@ -346,10 +401,13 @@ def bench_e2e(log):
     wall = time.perf_counter() - t0
     e2e_fps = stats.frames_out / wall if wall > 0 else 0.0
     out_mb = os.path.getsize(out_path) / 1e6
+    frame_mb = 3840 * 2160 * 1.5 / 1e6
+    link_mbs = e2e_fps * frame_mb
     log(f"e2e 1080p->4K y4m420 transcode (warm): {stats.frames_in} in -> "
         f"{stats.frames_out} out in {wall:.1f}s = {e2e_fps:.1f} output fps "
         f"({out_mb:.0f} MB written; readback-bound on the relay-attached "
-        f"dev host — ~31 MB/s device->host, 12.4 MB per output frame)")
+        f"dev host — implies ~{link_mbs:.0f} MB/s device->host at "
+        f"{frame_mb:.1f} MB per output frame)")
 
     for p in (raw_path, out_path):
         if os.path.exists(p):

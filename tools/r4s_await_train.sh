@@ -13,7 +13,9 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
 import jax, jax.numpy as jnp
 print('PROBE_OK', float(jnp.ones((8,128)).sum()))" 2>&1 | grep -q PROBE_OK; then
     echo "[await] GREEN at $(date -u +%H:%M:%SZ); starting restart campaign"
-    bash tools/train_v3r2_campaign.sh "$OUT" 3000 1e-4 7 .data/ckpt/v3r2.npz
+    # checkpoint path defaults to $OUT/v3r2.npz inside the campaign, so
+    # every --save-every step lands in the committed tree (advisor r4)
+    bash tools/train_v3r2_campaign.sh "$OUT" 3000 1e-4 7
     exit $?
   fi
   echo "[await] not green; sleeping 60s"

@@ -35,6 +35,11 @@ print('PROBE_OK', float(jnp.ones((8,128)).sum()))"
   grep -q PROBE_OK "$OUT/probe.log" || { echo 'relay wedged; aborting'; exit 1; }
 fi
 
+if [ -f "$CK" ] && [ -z "${RESUME:-}" ]; then
+  # stale-checkpoint guard (advisor r4): refuse a silent continuation
+  echo "ERROR: $CK already exists; set RESUME=1 to continue it, or use a fresh outdir"
+  exit 1
+fi
 if [ ! -f "$CK" ]; then
   cp "$BASE" "$CK"   # warm-restart seed = the head under refinement
 fi

@@ -11,12 +11,16 @@
 #   bash tools/train_v3r2_campaign.sh [outdir] [steps] [lr] [seed] [ck]
 set -u
 cd "$(dirname "$0")/.."
-OUT="${1:-.data/train_v3r2}"
+OUT="${1:-artifacts/train_v3r2}"
 STEPS="${2:-3000}"
 LR="${3:-1e-4}"
 SEED="${4:-7}"
-CK="${5:-.data/ckpt/v3r2.npz}"
-mkdir -p "$OUT" .data/ckpt
+# Checkpoint lives IN $OUT (committed tree) so every --save-every step
+# survives a VM recycle via the driver's end-of-round auto-commit — the
+# round-4 restart-#2 head was lost because it lived only in gitignored
+# .data/ (advisor r4 finding).
+CK="${5:-$OUT/v3r2.npz}"
+mkdir -p "$OUT"
 
 stage() {  # stage <name> <timeout_s> <cmd...>
   local name="$1" t="$2"; shift 2
@@ -39,6 +43,13 @@ print('PROBE_OK', float(jnp.ones((8,128)).sum()))"
 fi
 
 
+if [ -f "$CK" ] && [ -z "${RESUME:-}" ]; then
+  # A stale $CK from a previous run would make --resume silently continue
+  # from already-restarted weights — a mislabeled run (advisor r4).  An
+  # intentional continuation must say RESUME=1.
+  echo "ERROR: $CK already exists; set RESUME=1 to continue it, or use a fresh outdir"
+  exit 1
+fi
 if [ ! -f "$CK" ]; then
   cp checkpoints/head64_v3.npz "$CK"   # warm-restart seed = bundled head
 fi
@@ -50,11 +61,17 @@ stage train 5400 python -m tpufg.models.train "synth:$SEED" --arch v3 \
   --crop 128x192 --resume "$CK" --checkpoint "$CK" --save-every 500 \
   --log-every 100
 
-# Persist the trained weights NEXT TO THE LOGS before anything else: the
-# round-4 restart-#2 head (40.91 clean) was lost because it lived only in
-# gitignored .data/ when the VM recycled — when $OUT is under artifacts/,
-# this copy rides the next commit.
-cp "$CK" "$OUT/$(basename "$CK")" 2>/dev/null || true
+# Persist the trained weights AND the resume sidecars next to the logs
+# before anything else (advisor r4: the .state.npz/.ema.npz sidecars are
+# what make next-round --resume a true resume).  No-ops when $CK already
+# lives in $OUT (the default).
+if [ "$(dirname "$CK")" != "$OUT" ]; then
+  cp "$CK" "$OUT/$(basename "$CK")" 2>/dev/null || true
+  for side in state ema; do
+    s="${CK%.npz}.$side.npz"
+    [ -f "$s" ] && cp "$s" "$OUT/$(basename "$s")"
+  done
+fi
 
 stage eval_clean 1800 python tools/eval_natural.py --pairs 8 --no-gate \
   --model-path "$CK" --modes learned
