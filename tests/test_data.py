@@ -84,6 +84,115 @@ class TestAnalyticFlow:
             c.flow(2.5, 3.5, np.zeros((2, 2)), np.zeros((2, 2)))
 
 
+class TestPhotoCorpus:
+    """Round-5 photometric axes (Scene photo=True): motion blur, fast
+    exposure flicker, sensor-noise mismatch, perspective background —
+    each present AND the analytic flow still exact under all of them."""
+
+    def test_photo_warp_consistency(self):
+        """The homography bg flow + blurred/flickered content: warping
+        frame(te) by flow(tm->te) must still beat zero-flow decisively
+        (residual floor is now blur + flicker, not just bilinear)."""
+        sc = Scene(2, 320, 192, photo=True)
+        tm, te = 3.0, 4.0
+        ys, xs = np.mgrid[0:192, 0:320].astype(np.float32)
+        flow, valid = sc.flow(tm, te, ys, xs)
+        img_m = sc.render(tm).astype(np.float64)
+        img_e = sc.render(te).astype(np.float64)
+        rec = _bilinear(img_e, ys + flow[1], xs + flow[0])
+        err = np.abs(rec[..., :3] - img_m[..., :3])
+        zero_err = np.abs(img_e[..., :3] - img_m[..., :3])
+        assert valid.mean() > 0.8
+        assert err[valid].mean() < 6.0
+        assert err[valid].mean() < 0.5 * zero_err[valid].mean()
+
+    def test_motion_blur_softens(self):
+        """The shutter-integrated frame has measurably less gradient
+        energy than the sharp render at the same time."""
+        sc = Scene(4, 256, 160, photo=True)
+        ys, xs = sc._grid(None)
+        sharp = np.clip(np.round(sc._render_sharp(5.0, ys, xs)), 0,
+                        255)[..., :3]
+        blurred = sc.render(5.0)[..., :3].astype(np.float64)
+        ge = lambda im: np.abs(np.diff(im.astype(np.float64),
+                                       axis=1)).mean()
+        assert ge(blurred) < 0.97 * ge(sharp)
+
+    def test_flicker_changes_interframe_gain(self):
+        """Consecutive photo frames differ in mean brightness by more
+        than the slow drift alone allows (0.03 over 180 frames is ~0.1%
+        per frame; the fast flicker is percents)."""
+        sc_p = Scene(6, 256, 160, photo=True)
+        means = [sc_p.render(float(t))[..., :3].mean() for t in range(6)]
+        rel = np.abs(np.diff(means)) / np.mean(means)
+        assert rel.max() > 0.01, rel
+
+    def test_noise_level_mismatch(self):
+        """The grain strength oscillates: measure the injected-noise std
+        at the modulation peak and trough times — they must differ."""
+        sc = Scene(8, 256, 160, photo=True)
+        na, period, ph = sc.noise_mod
+        t_hi = period * ((np.pi / 2 - ph) / (2 * np.pi) % 1.0)
+        t_lo = period * ((3 * np.pi / 2 - ph) / (2 * np.pi) % 1.0)
+
+        def noise_std(t):
+            clean = sc.render(t).astype(np.float64)
+            noisy = sc.render(t, grain_rng=np.random.default_rng(1),
+                              grain=3.0).astype(np.float64)
+            return (noisy - clean)[..., :3].std()
+
+        hi, lo = noise_std(t_hi), noise_std(t_lo)
+        # clipping/rounding eat some of the 1±na ratio; still far apart
+        assert hi > 1.3 * lo, (hi, lo)
+
+    def test_perspective_background_flow(self):
+        """The bg flow is projective: its horizontal gradient (scale
+        change across the frame) is non-constant in a way the pan+zoom
+        similarity can't produce — and photo=False stays affine."""
+        ys, xs = np.mgrid[0:192, 0:320].astype(np.float32)
+
+        def bg_flow_row(sc):
+            flow, valid = sc.flow(0.0, 20.0, ys, xs)
+            a1, a2, a3 = sc._alphas(0.0, ys, xs)
+            bg = (a1 < 0.1) & (a2 < 0.1) & (a3 < 0.1) & valid
+            row = np.where(bg[96], flow[0][96], np.nan)
+            return row
+
+        row_p = bg_flow_row(Scene(3, 320, 192, photo=True))
+        # second difference of dx along x: zero for affine, nonzero for
+        # projective (use widely spaced samples to beat f32 rounding)
+        pts = [20, 160, 300]
+        if not np.isnan(row_p[pts]).any():
+            d2 = row_p[pts[2]] - 2 * row_p[pts[1]] + row_p[pts[0]]
+            assert abs(d2) > 0.05, d2
+        row_a = bg_flow_row(Scene(3, 320, 192, photo=False))
+        if not np.isnan(row_a[pts]).any():
+            d2a = row_a[pts[2]] - 2 * row_a[pts[1]] + row_a[pts[0]]
+            assert abs(d2a) < 0.02, d2a
+
+    def test_photo_default_off_and_deterministic(self):
+        """photo=False scenes carry no photo state; photo=True renders
+        are deterministic (exact t-closed-form, seeded grain)."""
+        assert not hasattr(Scene(1, 64, 48, photo=False), "shutter")
+        a = NaturalCorpus(160, 96, 3, photo=True).frame(1.5)
+        b = NaturalCorpus(160, 96, 3, photo=True).frame(1.5)
+        assert np.array_equal(a, b)
+
+    def test_triplets_photo_p(self):
+        g = synthetic_triplets(32, 48, 2, seed=7, scene_w=160, scene_h=96,
+                               photo_p=1.0)
+        b = next(g)
+        assert b["prev"].shape == (2, 4, 32, 48)
+        assert np.isfinite(b["flow4"]).all()
+        # photo_p=0 must not perturb the existing stream (no extra draws)
+        g0 = synthetic_triplets(32, 48, 2, seed=7, scene_w=160, scene_h=96)
+        gd = synthetic_triplets(32, 48, 2, seed=7, scene_w=160, scene_h=96,
+                                photo_p=0.0)
+        b0, bd = next(g0), next(gd)
+        for k in b0:
+            assert np.array_equal(b0[k], bd[k]), k
+
+
 class TestSyntheticTriplets:
     def test_shapes_and_determinism(self):
         g1 = synthetic_triplets(32, 48, 2, seed=7, scene_w=160, scene_h=96)

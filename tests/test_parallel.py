@@ -348,6 +348,80 @@ class TestShardedLearned:
             make_sharded_interp_step(mesh, cfg)
 
 
+class TestShardedStreamCache:
+    """q_feed under spatial sharding (verdict r4 item 6): the v2/v3
+    per-stream siamese cache threads through the sharded step.  The cache
+    holds the encoder outputs of the HALO-EXTENDED shard frame (encoded
+    after the frame-level exchange), so the cached path must be
+    bitwise-identical to the cache-less sharded path — which is itself
+    interior-parity-pinned against single-chip above."""
+
+    def _frames(self, rng, in_h, in_w, n=3):
+        base = rng.random((in_h + 32, in_w + 32, 4)).astype(np.float32)
+        for k in (1, 2):
+            base = (base + np.roll(base, k, 0) + np.roll(base, k, 1)) / 3
+        base = (base * 255).astype(np.uint8)
+        return [np.ascontiguousarray(base[4 * i:4 * i + in_h,
+                                          3 * i:3 * i + in_w])
+                for i in range(n)]
+
+    @pytest.mark.parametrize("arch", ["v2", "v3"])
+    def test_cached_stream_bitwise_matches_cacheless(self, devices, rng,
+                                                     arch):
+        from tpufg.config import EngineConfig, resolve_sizes
+        from tpufg.models import rife
+        from tpufg.parallel.spatial import (make_sharded_q_init,
+                                            sharded_q_shapes)
+
+        init = rife.init_params2 if arch == "v2" else rife.init_params3
+        params = init(jax.random.PRNGKey(0), hidden=16)
+        mesh = make_spatial_mesh(4, dp=1)
+        in_h, in_w = 4 * HALO, 128
+        cfg = resolve_sizes(EngineConfig(
+            input_width=in_w, input_height=in_h,
+            output_width=in_w, output_height=in_h,
+            dtype="f32", motion_mode="learned"))
+        step = make_sharded_interp_step(mesh, cfg, model_params=params)
+        step_q = make_sharded_interp_step(mesh, cfg, model_params=params,
+                                          q_feed=True)
+        q_init = make_sharded_q_init(mesh, cfg, params)
+
+        frames = self._frames(rng, in_h, in_w)
+        cache = q_init(jnp.asarray(frames[0])[None])
+        shapes = sharded_q_shapes(cfg, 4, params)
+        assert len(cache) == len(shapes) == (2 if arch == "v3" else 1)
+        for got, want in zip(cache, shapes):
+            assert got.shape[1:] == want.shape and got.dtype == want.dtype
+        # two consecutive pairs: the threaded cache must reproduce the
+        # cache-less outputs bitwise at EVERY pixel (same math, cached)
+        for i in range(2):
+            p = jnp.asarray(frames[i])[None]
+            c = jnp.asarray(frames[i + 1])[None]
+            ref = step(p, c)
+            n_cache = len(cache)
+            *outs, = step_q(p, c, *cache)
+            outs, cache = outs[:-n_cache], tuple(outs[-n_cache:])
+            for o, r in zip(outs, ref):
+                np.testing.assert_array_equal(np.asarray(o), np.asarray(r))
+
+    def test_q_feed_rejects_non_learned_and_v1(self, devices):
+        from tpufg.config import ConfigError, EngineConfig, resolve_sizes
+        from tpufg.models import rife
+        mesh = make_spatial_mesh(4, dp=1)
+        cfg = resolve_sizes(EngineConfig(
+            input_width=128, input_height=4 * HALO,
+            motion_mode="pyramid"))
+        with pytest.raises(ConfigError, match="learned"):
+            make_sharded_interp_step(mesh, cfg, q_feed=True)
+        cfg_l = resolve_sizes(EngineConfig(
+            input_width=128, input_height=4 * HALO,
+            motion_mode="learned"))
+        v1 = rife.init_params(jax.random.PRNGKey(0), hidden=16)
+        with pytest.raises(ConfigError, match="v2/v3"):
+            make_sharded_interp_step(mesh, cfg_l, model_params=v1,
+                                     q_feed=True)
+
+
 class TestShardedMotionModeMatrix:
     """Every motion_mode x --devices combination either works (interior
     parity vs the single-chip step) or fails at config time.  pyramid,

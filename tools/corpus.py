@@ -46,6 +46,10 @@ def main(argv=None):
     p.add_argument("--classic", action="store_true",
                    help="reproduce the r3 corpus (no rotation / thin-bar "
                         "occluder / repeated-grating aperture trap)")
+    p.add_argument("--photo", action="store_true",
+                   help="round-5 photometric axes: motion blur, fast "
+                        "exposure flicker, sensor-noise mismatch, "
+                        "perspective background (Scene photo=True)")
     args = p.parse_args(argv)
 
     from tpufg.io.sinks import open_sink
@@ -53,7 +57,8 @@ def main(argv=None):
     cuts = ([float(c) for c in str(args.cut_at).split(",")]
             if args.cut_at is not None else None)
     corpus = NaturalCorpus(args.width, args.height, args.seed,
-                           cut_at=cuts, rich=not args.classic)
+                           cut_at=cuts, rich=not args.classic,
+                           photo=args.photo)
     grain_rng = None if args.no_grain else np.random.default_rng(args.seed)
     grain = 0.0 if args.no_grain else 3.0
     step = 0.5 if args.half_rate else 1.0

@@ -71,6 +71,12 @@ def main(argv=None):
                         "and EVERY one is scored against the analytic truth "
                         "rendered at its exact t (the corpus is analytic in "
                         "float t)")
+    p.add_argument("--photo", action="store_true",
+                   help="render the round-5 photometric corpus (motion "
+                        "blur, fast exposure flicker, sensor-noise "
+                        "mismatch, perspective background — Scene "
+                        "photo=True); truth frames carry the same "
+                        "photometry at their exact t")
     p.add_argument("--codec", default=None, choices=("mp4v", "MJPG", "XVID"),
                    help="route the rendered sequence through a lossy "
                         "encode/decode (OpenCV/FFmpeg) before evaluation: "
@@ -79,7 +85,8 @@ def main(argv=None):
                         "the decoded half-step truth")
     args = p.parse_args(argv)
 
-    corpus = NaturalCorpus(args.width, args.height, args.seed)
+    corpus = NaturalCorpus(args.width, args.height, args.seed,
+                           photo=args.photo)
     grng = np.random.default_rng(args.seed + 7) if args.grain else None
     grain = 3.0 if args.grain else 0.0
     k = args.mult
@@ -154,6 +161,8 @@ def main(argv=None):
             sel.remove("learned")
 
     tag = "grain" if args.grain else "clean"
+    if args.photo:
+        tag = "photo+" + tag
     mt = f", {k}x" if k != 2 else ""
     print(f"| mode ({tag}, {args.width}x{args.height}, "
           f"{args.pairs} pairs{mt}) | PSNR dB | SSIM |")

@@ -222,6 +222,13 @@ def main(argv=None) -> int:
                    help="analytic flow-supervision weight (synth input "
                         "only — the procedural renderer is the teacher; "
                         "0 = photometric-only)")
+    p.add_argument("--photo-p", type=float, default=0.0, metavar="P",
+                   dest="photo_p",
+                   help="per-triplet probability of drawing the scene "
+                        "with the round-5 photometric axes (motion blur, "
+                        "flicker, noise mismatch, perspective background "
+                        "— data/corpus.py Scene photo=True); synth input "
+                        "only, 0 replays existing streams bitwise")
     p.add_argument("--scene-size", default="384x640", metavar="HxW",
                    help="synth input: full scene geometry the crops are "
                         "cut from (matches the eval corpus scale)")
@@ -252,6 +259,10 @@ def main(argv=None) -> int:
     if args.flow_weight > 0 and not synth:
         log.error("--flow-weight needs the synth input (analytic flow "
                   "targets come from the procedural renderer)")
+        return 1
+    if args.photo_p > 0 and not synth:
+        log.error("--photo-p needs the synth input (photometric scenes "
+                  "come from the procedural renderer)")
         return 1
     if args.multi_t and not synth:
         log.error("--multi-t needs the synth input (off-midpoint targets "
@@ -336,7 +347,8 @@ def main(argv=None) -> int:
             crop_h, crop_w, args.batch,
             seed=(int(synth.group(1)) if synth.group(1) else 0) + start_step,
             scene_w=scene_w, scene_h=scene_h, supervise=supervised,
-            t_range=(0.25, 0.75) if args.multi_t else None)
+            t_range=(0.25, 0.75) if args.multi_t else None,
+            photo_p=args.photo_p)
         batches = _prefetch(gen)
     else:
         def open_one(spec):

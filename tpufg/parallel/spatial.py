@@ -27,6 +27,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpufg.config import ConfigError, EngineConfig
@@ -77,6 +78,7 @@ def make_sharded_interp_step(
     interpret: bool | None = None,
     model_params=None,
     motion_skip_alpha: bool = False,
+    q_feed: bool = False,
 ) -> Callable:
     """Jit'd multi-chip fps-multiplying step — the PRODUCTION pipeline math
     (tpufg.engine.pipeline.interp_planar: pyramid with skip_finest_refine=1,
@@ -110,6 +112,27 @@ def make_sharded_interp_step(
     lattice rows are ppermute-exchanged each pair exactly like frame
     rows, so the seeded search matches the single-chip temporal engine
     away from frame edges.
+
+    ``q_feed`` (learned v2/v3 heads, streaming — verdict r4 item 6): the
+    step takes the per-stream siamese cache as trailing args and returns
+    the current frame's as trailing outputs, so a caller threads it
+    between pairs and each frame is downsampled/encoded ONCE per stream
+    instead of once per pair — the same contract as the single-chip
+    ``make_interp_step(q_feed=True)``.  The cache is stored for the
+    HALO-EXTENDED shard frame (rows Hs + 2*halo): the frame-level halo
+    exchange runs BEFORE the encoder, so this step's returned cache of
+    ``halo_exchange(curr)`` is bitwise the bytes the next step would
+    recompute from ``halo_exchange(prev)`` (same function, same frame) —
+    the cache needs no feature-level exchange of its own and the cached
+    path stays bitwise-identical to the cache-less sharded path, whose
+    interior parity vs single-chip is the tested contract.  v3 cache:
+    (quarter frame [B, 4, (Hs+2*halo)/4, Wp/4] f32, encoder features
+    [B, h2, (Hs+2*halo)/4, Wp/4] bf16), both row-stacked across sp (each
+    shard's slab INCLUDES its halos — an opaque state layout, not a
+    croppable frame); v2: the quarter frame alone.  Seed with
+    ``make_sharded_q_init``; shapes from ``sharded_q_shapes``.  Each
+    batch element is an independent stream (its own cache) — under dp
+    the caller must keep stream order within each batch lane.
     """
     cfg.validate()
     in_h, in_w = cfg.input_height, cfg.input_width
@@ -128,6 +151,16 @@ def make_sharded_interp_step(
             "--temporal-mv under --devices needs --dp 1: the MV predictor "
             "is sequential per-stream state, which contradicts dp's "
             "batched pair parallelism (spatial sharding threads it fine)")
+    qfeed = v3 = False
+    if q_feed:
+        from tpufg.models import rife as _rife
+        if mode != "learned":
+            raise ConfigError("q_feed applies to motion_mode='learned' only")
+        v3 = _rife.is_v3(model_params)
+        qfeed = v3 or _rife.is_v2(model_params)
+        if not qfeed:
+            raise ConfigError("q_feed needs a v2/v3 learned head (the v1 "
+                              "head has no per-frame stream state)")
     t = cfg.interpolation_factor
     k = max(2, int(cfg.fps_multiplier))
     factors = [t] if k == 2 else [i / float(k) for i in range(1, k)]
@@ -151,23 +184,28 @@ def make_sharded_interp_step(
     out_hs = (in_h // sp) * out_h // in_h  # output rows per shard
     identity = (out_h, out_w) == (in_h, in_w)
 
-    from jax import shard_map
-
     from tpufg.engine.pipeline import interp_planar
 
-    def pair_fn(prev_u8, curr_u8, mv_seed=None):
+    def pair_fn(prev_u8, curr_u8, *state):
         # [Hs, W, 4] per-shard uint8 -> k outputs [out_hs, out_w, 4]
-        # (+ the next MV predictor state in temporal mode)
+        # (+ the next MV predictor state in temporal mode, or the next
+        # stream cache in q_feed mode)
         p = frames_to_planar(prev_u8, F32)
         c = frames_to_planar(curr_u8, F32)
         p_ext = halo_exchange_rows(p, "sp", halo)
         c_ext = halo_exchange_rows(c, "sp", halo)
-        seed_ext = None
+        seed_ext = q_seed = None
         if temporal:
             # the MV state shards exactly like frame rows (16-px lattice):
             # exchange halo//16 lattice rows so the seeded search sees its
             # neighbors' predictor, mirroring the frame halos
-            seed_ext = halo_exchange_rows(mv_seed, "sp", halo // 16)
+            seed_ext = halo_exchange_rows(state[0], "sp", halo // 16)
+        elif qfeed:
+            # the stream cache is stored for the halo-EXTENDED frame
+            # (encoded after the frame-level exchange), so it needs no
+            # exchange of its own: these are bitwise the bytes this
+            # step would recompute from halo_exchange(prev)
+            q_seed = state if v3 else state[0]
         res = interp_planar(
             p_ext, c_ext, mode=mode, factors=factors, dt=dt,
             block_size=cfg.block_size, search_radius=cfg.search_radius,
@@ -178,6 +216,7 @@ def make_sharded_interp_step(
             mc_fallback=cfg.mc_fallback,
             mv_seed=seed_ext, return_mv=temporal,
             motion_skip_alpha=motion_skip_alpha,
+            q_seed=q_seed, return_q=qfeed,
             # pmean over sp: all spatial shards must agree on the cut
             # decision or the fallback would seam at shard boundaries
             # (the mean includes each shard's replicated halo rows — a
@@ -186,7 +225,13 @@ def make_sharded_interp_step(
             # threshold semantics are unchanged)
             scene_cut_threshold=cfg.scene_cut_threshold,
             scene_cut_axis="sp" if cfg.scene_cut_threshold > 0 else None)
-        interps, mv_out = res if temporal else (res, None)
+        mv_out = q_out = None
+        if temporal:
+            interps, mv_out = res
+        elif qfeed:
+            interps, q_out = res
+        else:
+            interps = res
         # scale WITH the halo present (interior Lanczos taps see real
         # neighbor rows), then crop the scaled halo.  Non-identity sizes
         # use the fused scale+quantize+pack kernel (same bytes as
@@ -211,30 +256,39 @@ def make_sharded_interp_step(
             # shard's next predictor (neighbors re-exchange next pair)
             h16 = halo // 16
             outs.append(mv_out[:, h16:-h16, :])
+        elif qfeed:
+            # the cache keeps its halo rows (see docstring: an opaque
+            # per-shard state, bitwise next step's prev-side inputs)
+            outs.extend(q_out if v3 else (q_out,))
         return tuple(outs)
 
     shard_fn = jax.vmap(pair_fn)  # local batch axis (dp block)
 
+    n_state = 1 if temporal else (2 if v3 else 1) if qfeed else 0
     specs = P("dp", "sp", None, None)
-    mv_specs = P("dp", None, "sp", None)  # [B, 2, lat_rows, lat_cols]
+    # temporal MV state and the q_feed stream cache both shard their row
+    # axis (dim 2 of [B, C, rows, cols]) over sp
+    st_specs = P("dp", None, "sp", None)
     smapped = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(specs, specs) + ((mv_specs,) if temporal else ()),
-        out_specs=(specs,) * k + ((mv_specs,) if temporal else ()),
+        in_specs=(specs, specs) + (st_specs,) * n_state,
+        out_specs=(specs,) * k + (st_specs,) * n_state,
         check_vma=False,
     )
 
     in_sharding = NamedSharding(mesh, specs)
-    mv_sharding = NamedSharding(mesh, mv_specs)
+    st_sharding = NamedSharding(mesh, st_specs)
 
-    if temporal:
+    if n_state:
         @jax.jit
-        def step(prev_b, curr_b, mv_b):
+        def step(prev_b, curr_b, *state_b):
             prev_b = jax.lax.with_sharding_constraint(prev_b, in_sharding)
             curr_b = jax.lax.with_sharding_constraint(curr_b, in_sharding)
-            mv_b = jax.lax.with_sharding_constraint(mv_b, mv_sharding)
-            return smapped(prev_b, curr_b, mv_b)
+            state_b = tuple(
+                jax.lax.with_sharding_constraint(s, st_sharding)
+                for s in state_b)
+            return smapped(prev_b, curr_b, *state_b)
     else:
         @jax.jit
         def step(prev_b, curr_b):
@@ -243,6 +297,78 @@ def make_sharded_interp_step(
             return smapped(prev_b, curr_b)
 
     return step
+
+
+def _q_ext_height(cfg: EngineConfig, sp: int) -> int:
+    """Rows of one shard's halo-extended frame in q_feed mode (learned
+    mode uses the un-doubled HALO; validated divisible upstream)."""
+    return cfg.input_height // sp + 2 * HALO
+
+
+def sharded_q_shapes(cfg: EngineConfig, sp: int, model_params):
+    """Shape/dtype structs of ONE batch element's sharded stream cache as
+    the GLOBAL (row-stacked across sp) arrays a q_feed step threads:
+    v3 -> (quarter frame, encoder features), v2 -> (quarter frame,).
+    Derived by eval_shape of the same functions the step runs, so dtype
+    and feature width track the head, not a hardcoded table."""
+    from tpufg.kernels.common import round_up
+    from tpufg.models import rife
+    ext_h = _q_ext_height(cfg, sp)
+    wp = round_up(cfg.input_width, 16)
+    frame = jax.ShapeDtypeStruct((1, 4, ext_h, wp), F32)
+    q4 = jax.eval_shape(rife._down4_mean, frame)
+    stack = lambda s: jax.ShapeDtypeStruct((s.shape[1], sp * s.shape[2],
+                                            s.shape[3]), s.dtype)
+    if not rife.is_v3(model_params):
+        return (stack(q4),)
+    f4 = jax.eval_shape(
+        lambda x: rife.encode3(model_params, x, dtype=jnp.bfloat16), frame)
+    return (stack(q4), stack(f4))
+
+
+def make_sharded_q_init(mesh: Mesh, cfg: EngineConfig, model_params,
+                        interpret: bool | None = None) -> Callable:
+    """Jit'd [B, H, W, 4] uint8 frame -> the sharded stream-cache seed
+    for ``make_sharded_interp_step(..., q_feed=True)``.
+
+    Replicates the sharded learned path EXACTLY — frames_to_planar ->
+    frame-level halo exchange -> edge pad W to the 16-px lattice ->
+    _down4_mean (+ encode3 for v3) — so seeding a q_feed step with it is
+    bitwise-identical to the step computing prev's cache itself (the
+    single-chip analog is pipeline.make_q_init)."""
+    from tpufg.engine.pipeline import _edge_pad_chw
+    from tpufg.kernels.common import round_up
+    from tpufg.models import rife
+    v3 = rife.is_v3(model_params)
+    wp = round_up(cfg.input_width, 16)
+    ext_h = _q_ext_height(cfg, mesh.shape["sp"])
+
+    def shard_init(frame_u8):
+        p = frames_to_planar(frame_u8, F32)
+        p_ext = halo_exchange_rows(p, "sp", HALO)
+        pp = _edge_pad_chw(p_ext, ext_h, wp)[None]
+        q4 = rife._down4_mean(pp)[0]
+        if not v3:
+            return (q4,)
+        return (q4, rife.encode3(model_params, pp, dtype=jnp.bfloat16,
+                                 fast=True)[0])
+
+    specs = P("dp", "sp", None, None)
+    st_specs = P("dp", None, "sp", None)
+    n_out = 2 if v3 else 1
+    smapped = shard_map(
+        jax.vmap(shard_init), mesh=mesh,
+        in_specs=(specs,), out_specs=(st_specs,) * n_out,
+        check_vma=False)
+
+    in_sharding = NamedSharding(mesh, specs)
+
+    @jax.jit
+    def q_init(frame_b):
+        frame_b = jax.lax.with_sharding_constraint(frame_b, in_sharding)
+        return smapped(frame_b)
+
+    return q_init
 
 
 def sharded_mv_lattice_shape(cfg: EngineConfig) -> tuple[int, int, int]:
