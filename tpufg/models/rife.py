@@ -751,14 +751,25 @@ def loss_fn2(params, prev, curr, target, t: float = 0.5,
 V3_RCONV_PALLAS = (False, False, False)
 
 
-def init_params3(key: jax.Array, hidden: int = HIDDEN) -> dict:
-    """Streaming two-stage parameters; same {name: {w, b}} layout."""
+def init_params3(key: jax.Array, hidden: int = HIDDEN,
+                 stage2_diff: bool = False) -> dict:
+    """Streaming two-stage parameters; same {name: {w, b}} layout.
+
+    ``stage2_diff`` ("v3d", round 5 — the VERDICT r4 item-2 capacity
+    probe inside v3's device headroom): stage 2 additionally sees the
+    SIGNED WARPED DIFFERENCE p4w - c4w (4 ch), the cheapest pair-
+    interaction signal available at 1/4 res — where the warped frames
+    agree it is ~0, where the coarse flow errs it localizes the error —
+    so r_in widens 13 -> 17 input channels.  The only extra device cost
+    is that fatter first conv (the subtraction fuses); everything else
+    (siamese encoder, stream cache, tail) is unchanged."""
     def he(k, shape):
         fan_in = int(np.prod(shape[1:]))
         return jax.random.normal(k, shape, F32) * np.sqrt(2.0 / fan_in)
 
     ks = jax.random.split(key, 8)
     h = hidden
+    r_in_ch = 17 if stage2_diff else 13
     return {
         # per-frame encoder (4 input ch): 1/2 then 1/4
         "enc1": {"w": he(ks[0], (h // 2, 4, 3, 3)),
@@ -771,12 +782,36 @@ def init_params3(key: jax.Array, hidden: int = HIDDEN) -> dict:
         "c_head": {"w": jnp.zeros((5, h, 3, 3), F32),
                    "b": jnp.zeros((5,), F32)},
         # stage 2 (refine, 1/4): input = warped p4/c4 (8) + coarse flow
-        # (4) + coarse mask logit (1) — the vanilla RIFE IFBlock feed
-        "r_in": {"w": he(ks[5], (h, 13, 3, 3)), "b": jnp.zeros((h,), F32)},
+        # (4) + coarse mask logit (1) — the vanilla RIFE IFBlock feed —
+        # (+ the signed warped difference (4) on the v3d variant)
+        "r_in": {"w": he(ks[5], (h, r_in_ch, 3, 3)),
+                 "b": jnp.zeros((h,), F32)},
         "r_body": {"w": he(ks[6], (h, h, 3, 3)), "b": jnp.zeros((h,), F32)},
         "r_head": {"w": jnp.zeros((5, h, 3, 3), F32),
                    "b": jnp.zeros((5,), F32)},
     }
+
+
+def has_stage2_diff(params: dict) -> bool:
+    """v3d discriminator: stage 2 consumes the warped-difference input."""
+    return is_v3(params) and params["r_in"]["w"].shape[1] == 17
+
+
+def expand_v3_stage2_diff(params: dict) -> dict:
+    """Zero-pad a v3 head's r_in to the v3d 17-channel input: the new
+    difference channels start at weight 0, so the expanded head computes
+    BIT-IDENTICAL outputs to the original until training moves them —
+    the exact warm-start the capacity probe wants (no quality cliff at
+    step 0)."""
+    if has_stage2_diff(params):
+        return params
+    if not is_v3(params):
+        raise ValueError("expand_v3_stage2_diff needs a v3 head")
+    w = params["r_in"]["w"]
+    out = dict(params)
+    out["r_in"] = {"w": jnp.pad(w, ((0, 0), (0, 4), (0, 0), (0, 0))),
+                   "b": params["r_in"]["b"]}
+    return out
 
 
 def is_v3(params: dict) -> bool:
@@ -874,7 +909,12 @@ def _head3_raw(params: dict, prev: jax.Array, curr: jax.Array, dtype=F32,
     else:
         p4w = bilinear_warp(p4, out0_4[:, 0:2])
         c4w = bilinear_warp(c4, out0_4[:, 2:4])
-    r = jnp.concatenate([p4w, c4w, out0_4], axis=1)
+    parts = [p4w, c4w, out0_4]
+    if params["r_in"]["w"].shape[1] == 17:
+        # v3d: the signed warped difference — the cheap pair-interaction
+        # input (fuses into the r_in conv's producer; see init_params3)
+        parts.append(p4w - c4w)
+    r = jnp.concatenate(parts, axis=1)
     if fast and r.shape[0] == 1:
         # per-layer Pallas convs where measured faster IN CONTEXT (the
         # engine 5b number, not standalone — see V3_RCONV_PALLAS)
@@ -1132,9 +1172,13 @@ def load_params(path: str) -> dict:
     if n_leaves == 16:
         # v2 and v3 share the 8-layer layout; sorted-key leaf 5 is
         # enc1.w, whose input-channel count discriminates (8 pair-joint
-        # vs 4 per-frame)
-        init = (init_params3 if data["leaf_5"].shape[1] == 4
-                else init_params2)
+        # vs 4 per-frame); leaf 15 is r_in.w, whose input-channel count
+        # discriminates v3d (17: + warped-difference) from v3 (13)
+        if data["leaf_5"].shape[1] == 4:
+            init = functools.partial(
+                init_params3, stage2_diff=data["leaf_15"].shape[1] == 17)
+        else:
+            init = init_params2
     else:
         init = init_params
     like = init(jax.random.PRNGKey(0), hidden)
@@ -1212,15 +1256,18 @@ def make_train_step(
     ``ema' = ema_decay * ema + (1 - ema_decay) * params'``.  The update
     runs inside the jitted step, so the average lives on device.
     """
-    if arch not in ("v1", "v2", "v3"):
-        raise ValueError(f"arch must be v1, v2 or v3, got {arch!r}")
+    if arch not in ("v1", "v2", "v3", "v3d"):
+        raise ValueError(f"arch must be v1, v2, v3 or v3d, got {arch!r}")
     sup = flow_weight > 0.0
     if sup and ft:
         raise ValueError("flow supervision and --ft are mutually exclusive "
                          "(supervision trains the smooth tail)")
+    # v3d is v3 with the widened stage-2 input: _head3_raw routes on the
+    # r_in shape, so the v3 losses serve both
     lf_sup = {"v1": loss_fn_sup, "v2": loss_fn2_sup,
-              "v3": loss_fn3_sup}[arch]
-    lf_photo = {"v1": loss_fn, "v2": loss_fn2, "v3": loss_fn3}[arch]
+              "v3": loss_fn3_sup, "v3d": loss_fn3_sup}[arch]
+    lf_photo = {"v1": loss_fn, "v2": loss_fn2, "v3": loss_fn3,
+                "v3d": loss_fn3}[arch]
     if sup:
         mw = flow_weight / 5.0 if mask_weight is None else mask_weight
         lf = functools.partial(lf_sup, flow_weight=flow_weight,
@@ -1230,10 +1277,11 @@ def make_train_step(
     else:
         lf = lf_photo
     opt = optax.adam(learning_rate)
-    init_p = {"v1": init_params, "v2": init_params2,
-              "v3": init_params3}[arch]
+    init_p = {"v1": init_params, "v2": init_params2, "v3": init_params3,
+              "v3d": functools.partial(init_params3, stage2_diff=True),
+              }[arch]
     shard_p = {"v1": param_shardings, "v2": param_shardings2,
-               "v3": param_shardings3}[arch]
+               "v3": param_shardings3, "v3d": param_shardings3}[arch]
 
     def init_state(key, hidden: int = HIDDEN):
         params = init_p(key, hidden)
