@@ -27,23 +27,36 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from tools.corpus import NaturalCorpus  # noqa: E402
 
 
-def run_mode(tag, cfg_kw, frames, truths, model_params=None, mult=2):
+def run_mode(tag, cfg_kw, frames, truths, model_params=None, mult=2,
+             out_mult=1):
+    """``out_mult`` > 1 (round 5, VERDICT r4 item 5): run the REAL
+    deployment program — interpolation + fused Lanczos upscale to
+    out_mult x the input size — and score the upscaled outputs against
+    the SAME upscale of the truth frames (make_scale_step, identical
+    kernel/settings).  The truth rides the identical resampling, so the
+    metric still isolates interpolation error, now measured through the
+    exact program the product runs at the north-star shape."""
     import jax.numpy as jnp
 
     from tpufg.config import EngineConfig, resolve_sizes
-    from tpufg.engine.pipeline import make_interp_step
+    from tpufg.engine.pipeline import make_interp_step, make_scale_step
     from tpufg.utils.quality import psnr, ssim
 
     h, w = frames[0].shape[:2]
     cfg = resolve_sizes(EngineConfig(
-        input_width=w, input_height=h, output_width=w, output_height=h,
+        input_width=w, input_height=h,
+        output_width=w * out_mult, output_height=h * out_mult,
         fps_multiplier=mult, **cfg_kw))
     step = make_interp_step(cfg, model_params=model_params)
+    scale = make_scale_step(cfg) if out_mult > 1 else None
     ps, ss = [], []
     for i in range(len(frames) - 1):
         outs = step(jnp.asarray(frames[i]), jnp.asarray(frames[i + 1]))
         for j in range(mult - 1):  # outs[-1] is the scaled current frame
-            t = truths[i][j].astype(np.float64) / 255.0
+            tr = truths[i][j]
+            if scale is not None:
+                tr = np.asarray(scale(jnp.asarray(tr)))
+            t = tr.astype(np.float64) / 255.0
             o = np.asarray(outs[j]).astype(np.float64) / 255.0
             ps.append(psnr(t[..., :3], o[..., :3]))
             ss.append(ssim(t[..., :3], o[..., :3]))
@@ -71,6 +84,12 @@ def main(argv=None):
                         "and EVERY one is scored against the analytic truth "
                         "rendered at its exact t (the corpus is analytic in "
                         "float t)")
+    p.add_argument("--out-mult", type=int, default=1, dest="out_mult",
+                   help="run the deployment program: interpolate + fused "
+                        "Lanczos upscale to out_mult x the corpus size, "
+                        "scoring against the identically-upscaled truth "
+                        "(2 at --width 1920 --height 1080 = the north-star "
+                        "1080p->4K shape)")
     p.add_argument("--photo", action="store_true",
                    help="render the round-5 photometric corpus (motion "
                         "blur, fast exposure flicker, sensor-noise "
@@ -164,13 +183,15 @@ def main(argv=None):
     if args.photo:
         tag = "photo+" + tag
     mt = f", {k}x" if k != 2 else ""
-    print(f"| mode ({tag}, {args.width}x{args.height}, "
+    om = (f" -> {args.width * args.out_mult}x{args.height * args.out_mult}"
+          if args.out_mult > 1 else "")
+    print(f"| mode ({tag}, {args.width}x{args.height}{om}, "
           f"{args.pairs} pairs{mt}) | PSNR dB | SSIM |")
     print("|---|---|---|")
     for m in sel:
         ps, ss = run_mode(m, modes[m], frames, truths,
                           model_params=model_params if m == "learned"
-                          else None, mult=k)
+                          else None, mult=k, out_mult=args.out_mult)
         print(f"| {m} | {ps:.2f} | {ss:.4f} |", flush=True)
 
     if args.no_gate:
