@@ -404,6 +404,58 @@ class TestShardedStreamCache:
             for o, r in zip(outs, ref):
                 np.testing.assert_array_equal(np.asarray(o), np.asarray(r))
 
+    def test_runner_sharded_learned_stream_uses_cache(self, devices, rng,
+                                                      tmp_path):
+        """run_sharded_stream (learned, dp=1) threads the stream cache;
+        its emitted frames must be BITWISE the cache-less sharded step's
+        outputs pair by pair (the cache contract, at the product level)."""
+        import jax.numpy as jnp
+        from tpufg.config import EngineConfig, resolve_sizes
+        from tpufg.engine.runner import run_sharded_stream
+        from tpufg.models import rife
+
+        params = rife.init_params3(jax.random.PRNGKey(2), hidden=16)
+        in_h, in_w = 4 * HALO, 128
+        cfg = resolve_sizes(EngineConfig(
+            input_width=in_w, input_height=in_h,
+            output_width=in_w, output_height=in_h,
+            dtype="f32", motion_mode="learned"))
+        frames = self._frames(rng, in_h, in_w, n=4)
+
+        class ListSource:
+            const_alpha = None
+
+            def __iter__(self):
+                return iter(frames)
+
+        class ListSink:
+            def __init__(self):
+                self.out = []
+
+            def write(self, arr):
+                self.out.append(np.array(arr))
+
+            def close(self):
+                pass
+
+        sink = ListSink()
+        stats = run_sharded_stream(cfg, ListSource(), sink, devices=4,
+                                   dp=1, model_params=params)
+        assert stats.frames_in == 4
+        # 1 first-frame scale + 3 pairs x 2 outputs
+        assert len(sink.out) == 7
+
+        mesh = make_spatial_mesh(4, dp=1)
+        ref_step = make_sharded_interp_step(mesh, cfg, model_params=params)
+        idx = 1
+        for i in range(3):
+            ref = ref_step(jnp.asarray(frames[i])[None],
+                           jnp.asarray(frames[i + 1])[None])
+            for r in ref:
+                np.testing.assert_array_equal(sink.out[idx],
+                                              np.asarray(r[0]))
+                idx += 1
+
     def test_q_feed_rejects_non_learned_and_v1(self, devices):
         from tpufg.config import ConfigError, EngineConfig, resolve_sizes
         from tpufg.models import rife

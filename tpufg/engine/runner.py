@@ -436,11 +436,26 @@ def run_sharded_stream(cfg: EngineConfig, source: FrameSource,
     out_h_pad = h_pad * out_h // in_h
     pcfg = dataclasses.replace(cfg, input_height=h_pad,
                                output_height=out_h_pad)
+    # the learned v2/v3 stream cache threads through the sharded step at
+    # dp=1 only: each pair's prev IS the previous pair's curr there,
+    # while dp>1 batches consecutive pairs whose prev-caches would come
+    # from sibling lanes of the SAME step (circular) — those lanes
+    # re-encode, which is what the cache-less step does anyway
+    qfeed = False
+    if (cfg.enable_interpolation and cfg.motion_mode == "learned"
+            and dp == 1 and model_params is not None):
+        from tpufg.models import rife
+        qfeed = rife.is_v2(model_params) or rife.is_v3(model_params)
     step = make_sharded_interp_step(
         mesh, pcfg, model_params=model_params,
-        motion_skip_alpha=getattr(source, "const_alpha", None) is True)
+        motion_skip_alpha=getattr(source, "const_alpha", None) is True,
+        q_feed=qfeed)
     scale0 = make_scale_step(cfg)  # very first frame: scale-only
     mv_state = None
+    q_state = q_init = None
+    if qfeed:
+        from tpufg.parallel.spatial import make_sharded_q_init
+        q_init = make_sharded_q_init(mesh, pcfg, model_params)
     if temporal:
         # row-sharded MV predictor threaded between pairs (dp=1 enforced
         # by make_sharded_interp_step: the state is sequential)
@@ -481,7 +496,7 @@ def run_sharded_stream(cfg: EngineConfig, source: FrameSource,
         stats.frames_out += 1
 
     def flush(batch: list) -> None:
-        nonlocal mv_state
+        nonlocal mv_state, q_state
         n = len(batch)
         if not n:
             return
@@ -490,6 +505,12 @@ def run_sharded_stream(cfg: EngineConfig, source: FrameSource,
         cb = jnp.asarray(np.stack([pad_rows(c) for _, c in full]))
         if temporal:
             *outs, mv_state = step(pb, cb, mv_state)
+        elif qfeed:
+            if q_state is None:
+                q_state = q_init(pb)  # first pair: encode prev once
+            n_st = len(q_state)
+            outs = list(step(pb, cb, *q_state))
+            outs, q_state = outs[:-n_st], tuple(outs[-n_st:])
         else:
             outs = step(pb, cb)
         # device_get, not np.asarray (pathological on relay-attached
