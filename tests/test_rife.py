@@ -668,6 +668,55 @@ class TestV3Diff:
             lambda a, b: np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b)), params, loaded)
 
+    def test_v3c_expand_warm_start_bitwise_and_composes(self, rng):
+        """expand_v3_coarse_body2: zero-init residual layer => identical
+        outputs; composes with the diff expansion (v3dc)."""
+        params = rife.init_params3(jax.random.PRNGKey(7), hidden=32)
+        prev = jnp.asarray(rng.random((4, 32, 64)).astype(np.float32))
+        curr = jnp.asarray(rng.random((4, 32, 64)).astype(np.float32))
+        a = rife.interpolate_fast(params, prev, curr, 0.5)
+        v3c = rife.expand_v3_coarse_body2(params)
+        assert rife.has_coarse_body2(v3c) and not rife.has_stage2_diff(v3c)
+        np.testing.assert_array_equal(
+            np.asarray(a),
+            np.asarray(rife.interpolate_fast(v3c, prev, curr, 0.5)))
+        v3dc = rife.expand_v3_stage2_diff(v3c)
+        assert rife.has_coarse_body2(v3dc) and rife.has_stage2_diff(v3dc)
+        np.testing.assert_array_equal(
+            np.asarray(a),
+            np.asarray(rife.interpolate_fast(v3dc, prev, curr, 0.5)))
+
+    def test_v3c_checkpoint_roundtrip(self, tmp_path):
+        from tpufg.utils.checkpoint import save_pytree
+        for sd in (False, True):
+            params = rife.init_params3(jax.random.PRNGKey(2), hidden=32,
+                                       stage2_diff=sd, coarse_body2=True)
+            p = str(tmp_path / f"v3c_{sd}.npz")
+            save_pytree(p, params)
+            loaded = rife.load_params(p)
+            assert rife.has_coarse_body2(loaded)
+            assert rife.has_stage2_diff(loaded) == sd
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b)), params, loaded)
+
+    def test_training_v3c_moves_new_layer(self, rng):
+        """arch v3dc trains end to end and the gradient reaches the new
+        residual layer (zero-init does not mean zero-grad: the relu
+        gates on the pre-activation, whose weight grads are nonzero)."""
+        init_state, step, _ = rife.make_train_step(3e-3, arch="v3dc")
+        params, opt = init_state(jax.random.PRNGKey(0), 16)
+        assert rife.has_coarse_body2(params)
+        prev = jnp.asarray(rng.random((2, 4, 32, 64)).astype(np.float32))
+        curr = jnp.asarray(np.roll(np.asarray(prev), 2, axis=3))
+        target = jnp.asarray(np.roll(np.asarray(prev), 1, axis=3))
+        losses = []
+        for _ in range(10):
+            params, opt, loss = step(params, opt, prev, curr, target)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        assert float(jnp.abs(params["c_body2"]["w"]).max()) > 0.0
+
     def test_engine_and_cache_run_v3d(self, rng):
         """The engine's learned path + stream cache work unchanged (the
         cache is encoder-side; v3d only touches stage-2 input)."""

@@ -752,7 +752,8 @@ V3_RCONV_PALLAS = (False, False, False)
 
 
 def init_params3(key: jax.Array, hidden: int = HIDDEN,
-                 stage2_diff: bool = False) -> dict:
+                 stage2_diff: bool = False,
+                 coarse_body2: bool = False) -> dict:
     """Streaming two-stage parameters; same {name: {w, b}} layout.
 
     ``stage2_diff`` ("v3d", round 5 — the VERDICT r4 item-2 capacity
@@ -762,7 +763,17 @@ def init_params3(key: jax.Array, hidden: int = HIDDEN,
     agree it is ~0, where the coarse flow errs it localizes the error —
     so r_in widens 13 -> 17 input channels.  The only extra device cost
     is that fatter first conv (the subtraction fuses); everything else
-    (siamese encoder, stream cache, tail) is unchanged."""
+    (siamese encoder, stream cache, tail) is unchanged.
+
+    ``coarse_body2`` ("v3c", round 5 — the second headroom probe): a
+    RESIDUAL second body conv in the coarse stage,
+    ``g = g + gelu(conv(g))``, zero-initialized so the expanded head is
+    bit-identical to its seed at step 0 (gelu(0) = 0; gelu rather than
+    relu so the zero-init branch still receives gradient — see
+    _head3_raw).  Runs at 1/8 res — a quarter of stage 2's pixels,
+    ~0.8 ms at 4K — and deepens exactly the stage whose flow quality
+    bounds everything downstream.  Composable with ``stage2_diff``
+    ("v3dc")."""
     def he(k, shape):
         fan_in = int(np.prod(shape[1:]))
         return jax.random.normal(k, shape, F32) * np.sqrt(2.0 / fan_in)
@@ -770,7 +781,11 @@ def init_params3(key: jax.Array, hidden: int = HIDDEN,
     ks = jax.random.split(key, 8)
     h = hidden
     r_in_ch = 17 if stage2_diff else 13
-    return {
+    extra = {}
+    if coarse_body2:
+        extra["c_body2"] = {"w": jnp.zeros((h, h, 3, 3), F32),
+                            "b": jnp.zeros((h,), F32)}
+    return extra | {
         # per-frame encoder (4 input ch): 1/2 then 1/4
         "enc1": {"w": he(ks[0], (h // 2, 4, 3, 3)),
                  "b": jnp.zeros((h // 2,), F32)},
@@ -795,6 +810,28 @@ def init_params3(key: jax.Array, hidden: int = HIDDEN,
 def has_stage2_diff(params: dict) -> bool:
     """v3d discriminator: stage 2 consumes the warped-difference input."""
     return is_v3(params) and params["r_in"]["w"].shape[1] == 17
+
+
+def has_coarse_body2(params: dict) -> bool:
+    """v3c discriminator: residual second coarse-body conv present."""
+    return is_v3(params) and "c_body2" in params
+
+
+def expand_v3_coarse_body2(params: dict) -> dict:
+    """Add a ZERO-initialized residual c_body2 to a v3/v3d head: the
+    expanded head computes bit-identical outputs to the original until
+    training moves the new layer (g + gelu(0) = g; gelu so the branch
+    still receives gradient, see _head3_raw) — the same no-quality-cliff
+    warm start as expand_v3_stage2_diff, with which it composes."""
+    if has_coarse_body2(params):
+        return params
+    if not is_v3(params):
+        raise ValueError("expand_v3_coarse_body2 needs a v3 head")
+    h = params["c_body"]["w"].shape[0]
+    out = dict(params)
+    out["c_body2"] = {"w": jnp.zeros((h, h, 3, 3), F32),
+                      "b": jnp.zeros((h,), F32)}
+    return out
 
 
 def expand_v3_stage2_diff(params: dict) -> dict:
@@ -892,6 +929,15 @@ def _head3_raw(params: dict, prev: jax.Array, curr: jax.Array, dtype=F32,
                            dtype))
     g = jax.nn.relu(_conv(f8, params["c_body"]["w"], params["c_body"]["b"],
                           1, dtype))
+    if "c_body2" in params:
+        # v3c: residual second coarse-body conv (zero-init = identity at
+        # warm start; 1/8-res, so ~1/4 of a stage-2 conv's cost).  GELU,
+        # not relu: gelu(0) = 0 keeps the zero-init bitwise-identity,
+        # while gelu'(0) = 0.5 lets gradients reach the new layer —
+        # relu'(0) = 0 would leave a zero-init relu branch permanently
+        # dead (caught by test_training_v3c_moves_new_layer).
+        g = g + jax.nn.gelu(_conv(g, params["c_body2"]["w"],
+                                  params["c_body2"]["b"], 1, dtype))
     out0 = _conv(g, params["c_head"]["w"], params["c_head"]["b"])
     out0_4 = _up2(out0)
     if p4 is None:
@@ -1045,11 +1091,16 @@ def tails_fast(params: dict, out, prev: jax.Array, curr: jax.Array,
                        integer_flow)
 
 
-def param_shardings3(mesh: Mesh) -> dict:
+def param_shardings3(mesh: Mesh, coarse_body2: bool = False) -> dict:
     """v3 tensor-parallel layout — identical to v2's (the two trunks
     share the 8-layer {enc1..3, c_body/c_head, r_in/r_body/r_head}
-    layout; one table keeps them in sync)."""
-    return param_shardings2(mesh)
+    layout; one table keeps them in sync).  ``coarse_body2`` adds the
+    v3c residual layer, sharded like c_body (hidden over 'tp')."""
+    table = param_shardings2(mesh)
+    if coarse_body2:
+        table = dict(table)
+        table["c_body2"] = table["c_body"]
+    return table
 
 
 # ---------------------------------------------------------------------------
@@ -1179,6 +1230,12 @@ def load_params(path: str) -> dict:
                 init_params3, stage2_diff=data["leaf_15"].shape[1] == 17)
         else:
             init = init_params2
+    elif n_leaves == 18:
+        # v3c: the residual c_body2 layer (sorted keys shift leaves by
+        # 2: enc1.w -> leaf_7, r_in.w -> leaf_17); only v3 grows it
+        init = functools.partial(
+            init_params3, coarse_body2=True,
+            stage2_diff=data["leaf_17"].shape[1] == 17)
     else:
         init = init_params
     like = init(jax.random.PRNGKey(0), hidden)
@@ -1256,18 +1313,21 @@ def make_train_step(
     ``ema' = ema_decay * ema + (1 - ema_decay) * params'``.  The update
     runs inside the jitted step, so the average lives on device.
     """
-    if arch not in ("v1", "v2", "v3", "v3d"):
-        raise ValueError(f"arch must be v1, v2, v3 or v3d, got {arch!r}")
+    v3_variants = ("v3", "v3d", "v3c", "v3dc")
+    if arch not in ("v1", "v2") + v3_variants:
+        raise ValueError(f"arch must be v1, v2, v3, v3d, v3c or v3dc, "
+                         f"got {arch!r}")
     sup = flow_weight > 0.0
     if sup and ft:
         raise ValueError("flow supervision and --ft are mutually exclusive "
                          "(supervision trains the smooth tail)")
-    # v3d is v3 with the widened stage-2 input: _head3_raw routes on the
-    # r_in shape, so the v3 losses serve both
+    # the v3 variants (v3d widened stage-2 input, v3c residual coarse
+    # body, v3dc both) share the v3 losses: _head3_raw routes on the
+    # params' own shapes/keys
     lf_sup = {"v1": loss_fn_sup, "v2": loss_fn2_sup,
-              "v3": loss_fn3_sup, "v3d": loss_fn3_sup}[arch]
-    lf_photo = {"v1": loss_fn, "v2": loss_fn2, "v3": loss_fn3,
-                "v3d": loss_fn3}[arch]
+              **{v: loss_fn3_sup for v in v3_variants}}[arch]
+    lf_photo = {"v1": loss_fn, "v2": loss_fn2,
+                **{v: loss_fn3 for v in v3_variants}}[arch]
     if sup:
         mw = flow_weight / 5.0 if mask_weight is None else mask_weight
         lf = functools.partial(lf_sup, flow_weight=flow_weight,
@@ -1279,9 +1339,15 @@ def make_train_step(
     opt = optax.adam(learning_rate)
     init_p = {"v1": init_params, "v2": init_params2, "v3": init_params3,
               "v3d": functools.partial(init_params3, stage2_diff=True),
+              "v3c": functools.partial(init_params3, coarse_body2=True),
+              "v3dc": functools.partial(init_params3, stage2_diff=True,
+                                        coarse_body2=True),
               }[arch]
+    body2 = arch in ("v3c", "v3dc")
     shard_p = {"v1": param_shardings, "v2": param_shardings2,
-               "v3": param_shardings3, "v3d": param_shardings3}[arch]
+               **{v: functools.partial(param_shardings3,
+                                       coarse_body2=body2)
+                  for v in v3_variants}}[arch]
 
     def init_state(key, hidden: int = HIDDEN):
         params = init_p(key, hidden)

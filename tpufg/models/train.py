@@ -174,12 +174,15 @@ def main(argv=None) -> int:
                         "5%% linear warmup, ending at lr/20) — constant "
                         "lr otherwise")
     p.add_argument("--hidden", type=int, default=64)
-    p.add_argument("--arch", choices=["v1", "v2", "v3", "v3d"],
+    p.add_argument("--arch",
+                   choices=["v1", "v2", "v3", "v3d", "v3c", "v3dc"],
                    default="v1",
                    help="v1 = single-stage 1/4-res flow; v2/v3 = two-stage "
                         "coarse-to-fine (1/8 flow -> warp -> 1/4 residual); "
-                        "v3d = v3 + warped-difference stage-2 input (warm-"
-                        "start from a v3 head via rife.expand_v3_stage2_diff)")
+                        "v3d = v3 + warped-difference stage-2 input, v3c = "
+                        "v3 + residual second coarse-body conv, v3dc = both "
+                        "(warm-start from a v3 head via "
+                        "rife.expand_v3_stage2_diff / expand_v3_coarse_body2)")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", default=None, metavar="CKPT",
                    help="restore parameters from CKPT; if CKPT's sidecar "
@@ -246,11 +249,12 @@ def main(argv=None) -> int:
         log.error(f"bad --crop {args.crop!r} (HxW)")
         return 1
     crop_h, crop_w = int(m.group(1)), int(m.group(2))
-    mult = 8 if args.arch in ("v2", "v3", "v3d") else 4  # 1/8 coarse stage
+    two_stage = args.arch != "v1"
+    mult = 8 if two_stage else 4  # 1/8 coarse stage
     if args.ft:
         # the ft tail's block lattice (grid = 16); v3's stage-2 replica
         # additionally needs 8-multiple QUARTER dims (8-px coarse warp)
-        mult = 32 if args.arch in ("v3", "v3d") else 16
+        mult = 32 if args.arch.startswith("v3") else 16
     if crop_h % mult or crop_w % mult:
         log.error(f"crop dims must be divisible by {mult}")
         return 1
