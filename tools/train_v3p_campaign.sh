@@ -14,7 +14,9 @@ OUT="${1:-artifacts/train_v3p}"
 STEPS="${2:-2000}"
 LR="${3:-5e-5}"
 SEED="${4:-23}"
-BASE="${5:-checkpoints/head64_v3.npz}"
+# default base: the round-5 v3d head (40.96 clean at unchanged rate) —
+# the photometric fine-tune should start from the best head available
+BASE="${5:-artifacts/train_v3d/v3d.npz}"
 PHOTO_P="${6:-0.35}"
 CK="$OUT/v3p.npz"
 mkdir -p "$OUT"
