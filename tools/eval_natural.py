@@ -182,6 +182,11 @@ def main(argv=None):
     tag = "grain" if args.grain else "clean"
     if args.photo:
         tag = "photo+" + tag
+    if args.codec:
+        # name the codec in the header: mp4v and XVID both select
+        # FFmpeg's MPEG-4 ASP encoder in OpenCV, so their tables can be
+        # legitimately identical — the tag keeps logs self-describing
+        tag += f"+{args.codec}"
     mt = f", {k}x" if k != 2 else ""
     om = (f" -> {args.width * args.out_mult}x{args.height * args.out_mult}"
           if args.out_mult > 1 else "")
