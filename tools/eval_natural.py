@@ -74,8 +74,8 @@ def main(argv=None):
                         "grain: the PSNR ceiling is the grain floor)")
     p.add_argument("--modes", default="crossfade,pyramid,quality,learned")
     p.add_argument("--model-path", default=None,
-                   help="learned-head checkpoint (default: bundled "
-                        "checkpoints/head64_v3.npz)")
+                   help="learned-head checkpoint (default: the newest "
+                        "bundled head, rife.bundled_checkpoint)")
     p.add_argument("--no-gate", action="store_true",
                    help="skip the bf16-vs-f32 gate section (faster sweeps)")
     p.add_argument("--mult", type=int, default=2,
@@ -171,9 +171,8 @@ def main(argv=None):
         import os
 
         from tpufg.models import rife
-        ckpt = args.model_path or os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "checkpoints", "head64_v3.npz")
-        if os.path.exists(ckpt):
+        ckpt = args.model_path or rife.bundled_checkpoint()
+        if ckpt and os.path.exists(ckpt):
             model_params = rife.load_params(ckpt)
         else:
             print("no bundled checkpoint; skipping learned")

@@ -36,9 +36,7 @@ def main(in_w=1920, in_h=1080, out_mult=2, n=24, mode="pyramid", k=2,
     model_params = None
     if mode == "learned":
         from tpufg.models import rife
-        ckpt = model_path or os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "checkpoints", "head64_v3.npz")
+        ckpt = model_path or rife.bundled_checkpoint()
         model_params = rife.load_params(ckpt)
     step = make_interp_step(cfg, wire="i32",  # the production wire
                             model_params=model_params, q_feed=True)
@@ -171,8 +169,8 @@ if __name__ == "__main__":
     ap.add_argument("-k", type=int, default=2)
     ap.add_argument("-n", type=int, default=24)
     ap.add_argument("--model-path", default=None,
-                    help="learned-head checkpoint (default: the bundled "
-                         "checkpoints/head64_v3.npz)")
+                    help="learned-head checkpoint (default: the newest "
+                         "bundled head, rife.bundled_checkpoint)")
     args = ap.parse_args()
     main(args.in_w, args.in_h, args.out_mult, args.n, args.mode, args.k,
          args.model_path)

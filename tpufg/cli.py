@@ -305,10 +305,10 @@ def main(argv: Optional[list[str]] = None) -> int:
     if args.motion_mode == "learned":
         path = args.model_path
         if not path:
-            # fall back to the checkpoint shipped with the repo
-            bundled = os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), "checkpoints", "head64_v3.npz")
-            if os.path.exists(bundled):
+            # fall back to the newest checkpoint shipped with the repo
+            from tpufg.models.rife import bundled_checkpoint
+            bundled = bundled_checkpoint()
+            if bundled:
                 path = bundled
                 log.info(f"--model-path not given; using bundled {path}")
             else:

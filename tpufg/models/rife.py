@@ -807,6 +807,24 @@ def init_params3(key: jax.Array, hidden: int = HIDDEN,
     }
 
 
+def bundled_checkpoint() -> Optional[str]:
+    """Path of the newest bundled default head, or None.
+
+    One place decides the precedence (newest first), so the CLI and the
+    eval/profile tools cannot disagree about what "the bundled default"
+    means.  head64_v4 is the round-5 photometrically-hardened v3d head;
+    head64_v3 remains bundled for reproduction of the r4 tables."""
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    for name in ("head64_v4.npz", "head64_v3.npz", "head64_v2.npz",
+                 "head64.npz"):
+        p = os.path.join(root, "checkpoints", name)
+        if os.path.exists(p):
+            return p
+    return None
+
+
 def has_stage2_diff(params: dict) -> bool:
     """v3d discriminator: stage 2 consumes the warped-difference input."""
     return is_v3(params) and params["r_in"]["w"].shape[1] == 17
