@@ -65,7 +65,15 @@ def git_sha():
 def record_healthy(payload):
     """Persist this healthy capture (+ code state) as the degraded path's
     future last-known-good.  Committed under artifacts/ so it survives the
-    session and names the exact code it measured."""
+    session and names the exact code it measured.
+
+    TPU captures only: a CPU-fallback run (no lease, dev box) completes
+    with rc=0 at garbage rates and would poison the citation the
+    degraded path exists to keep honest (review finding, r5)."""
+    if payload.get("platform") != "tpu":
+        log(f"not recording bench_latest: platform="
+            f"{payload.get('platform')!r} (TPU captures only)")
+        return
     rec = dict(payload)
     rec["git_sha"] = git_sha()
     rec["recorded_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
@@ -314,6 +322,7 @@ def run_bench():
         "metric": METRIC,
         "value": round(out_fps, 1),
         "unit": "fps",
+        "platform": jax.devices()[0].platform,
         "vs_baseline": round(out_fps / 60.0, 3),
         "per_output_frame_ms_steady": round(per_out_ms, 3),
         "paced_p50_ms_device": round(p50d, 2),

@@ -37,6 +37,9 @@ def main(in_w=1920, in_h=1080, out_mult=2, n=24, mode="pyramid", k=2,
     if mode == "learned":
         from tpufg.models import rife
         ckpt = model_path or rife.bundled_checkpoint()
+        if not ckpt:
+            sys.exit("no --model-path given and no bundled checkpoint "
+                     "found under checkpoints/")
         model_params = rife.load_params(ckpt)
     step = make_interp_step(cfg, wire="i32",  # the production wire
                             model_params=model_params, q_feed=True)

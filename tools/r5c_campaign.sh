@@ -33,7 +33,10 @@ print('PROBE_OK', float(jnp.ones((8,128)).sum()))"
   grep -q PROBE_OK "$OUT/probe.log" || { echo 'relay wedged; aborting'; exit 1; }
 fi
 
-stage bench 2700 python bench.py
+# 4200s > bench.py's own worst case (3 probe retries + the 2400s inner
+# budget ≈ 3960s): the stage bound must never SIGKILL the degraded-JSON
+# emit (review finding, r5)
+stage bench 4200 python bench.py
 stage tpu_lane 3000 env TPUFG_TEST_TPU=1 python -m pytest tests/ -m tpu -q
 
 SKIP_PROBE=1 bash tools/confirm_bundle.sh checkpoints/head64_v3.npz

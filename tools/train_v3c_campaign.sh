@@ -41,7 +41,8 @@ if [ -f "$CK" ] && [ -z "${RESUME:-}" ]; then
   exit 1
 fi
 if [ ! -f "$CK" ]; then
-  python - <<EOF
+  # CPU-bounded seeding (one-bounded-client discipline; review r5)
+  env PYTHONPATH= JAX_PLATFORMS=cpu timeout 900 python - <<EOF
 from tpufg.models import rife
 from tpufg.utils.checkpoint import save_pytree
 save_pytree("$CK", rife.expand_v3_coarse_body2(
@@ -50,12 +51,14 @@ print("seeded $CK (zero-padded warm start from head64_v3)")
 EOF
 fi
 
-# 0. rate gate FIRST: if v3d cannot hold 60 fps device-bound at 4K->4K,
-#    record the dead end without spending the training budget
+# 0. rate gate FIRST: if v3c cannot hold 60 fps device-bound at 4K->4K,
+#    record the dead end without spending the training budget (baseline
+#    pinned: the tools' default is now the newest bundled head)
 stage rate_v3c 1800 python tools/profile_step.py --mode learned -k 2 \
   --in-w 3840 --in-h 2160 --out-mult 1 --model-path "$CK"
 stage rate_v3 1800 python tools/profile_step.py --mode learned -k 2 \
-  --in-w 3840 --in-h 2160 --out-mult 1
+  --in-w 3840 --in-h 2160 --out-mult 1 \
+  --model-path checkpoints/head64_v3.npz
 
 stage train 5400 python -m tpufg.models.train "synth:$SEED" --arch v3c \
   --steps "$STEPS" --cosine --lr "$LR" --flow-weight 0.1 --batch 4 \

@@ -40,7 +40,11 @@ if [ -f "$CK" ] && [ -z "${RESUME:-}" ]; then
   exit 1
 fi
 if [ ! -f "$CK" ]; then
-  python - <<EOF
+  # seeding runs on CPU (PYTHONPATH cleared to bypass the axon
+  # sitecustomize) and bounded: a bare python here would open an
+  # unbounded TPU client, violating the one-bounded-client discipline
+  # (review finding, r5)
+  env PYTHONPATH= JAX_PLATFORMS=cpu timeout 900 python - <<EOF
 from tpufg.models import rife
 from tpufg.utils.checkpoint import save_pytree
 save_pytree("$CK", rife.expand_v3_stage2_diff(
@@ -53,8 +57,11 @@ fi
 #    record the dead end without spending the training budget
 stage rate_v3d 1800 python tools/profile_step.py --mode learned -k 2 \
   --in-w 3840 --in-h 2160 --out-mult 1 --model-path "$CK"
+# baseline pinned explicitly: the tools' default is now the NEWEST
+# bundled head (v4), which would silently mislabel this comparison
 stage rate_v3 1800 python tools/profile_step.py --mode learned -k 2 \
-  --in-w 3840 --in-h 2160 --out-mult 1
+  --in-w 3840 --in-h 2160 --out-mult 1 \
+  --model-path checkpoints/head64_v3.npz
 
 stage train 5400 python -m tpufg.models.train "synth:$SEED" --arch v3d \
   --steps "$STEPS" --cosine --lr "$LR" --flow-weight 0.1 --batch 4 \
