@@ -46,7 +46,8 @@ if [ ! -f "$CK" ]; then
   cp "$BASE" "$CK"
 fi
 ARCH=v3
-python - <<EOF && ARCH=v3d
+# CPU-bounded arch sniff (one-bounded-client discipline; review r5)
+env PYTHONPATH= JAX_PLATFORMS=cpu timeout 900 python - <<EOF && ARCH=v3d
 from tpufg.models import rife
 import sys
 sys.exit(0 if rife.has_stage2_diff(rife.load_params("$CK")) else 1)
