@@ -179,14 +179,14 @@ def main():
         import jax
 
         from tpufg.models import rife
-        ckpt = args.model_path or os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "checkpoints", "head64_v3.npz")
-        if os.path.exists(ckpt):
+        ckpt = args.model_path or rife.bundled_checkpoint()
+        if ckpt and os.path.exists(ckpt):
             params = rife.load_params(ckpt)
-            arch = ("v3" if rife.is_v3(params)
+            arch = ("v3d" if rife.has_stage2_diff(params)
+                    else "v3" if rife.is_v3(params)
                     else "v2" if rife.is_v2(params) else "v1")
-            tag5b = f"5b: 4K→4K learned head (bundled {arch} checkpoint)"
+            tag5b = (f"5b: 4K→4K learned head (bundled {arch} checkpoint, "
+                     f"{os.path.basename(ckpt)})")
         else:
             params = rife.init_params(jax.random.PRNGKey(0))
             tag5b = "5b: 4K→4K learned head (untrained weights, timing only)"
